@@ -1,0 +1,184 @@
+"""Native checkpoint container for float + block-quantized weight pytrees.
+
+The reference has no inference checkpointing at all (SURVEY.md §5) — training
+used Keras ``ModelCheckpoint`` and inference re-read ad-hoc binaries. This is
+the framework-native store: one ``.gxt`` file holding an arbitrary pytree of
+arrays and :class:`QTensor` leaves.
+
+Layout:  ``GXT1`` magic | uint64 header_len | JSON header | 64-byte-aligned
+raw little-endian tensor blobs. The header maps flattened pytree key-paths to
+dtype/shape/offset (QTensor leaves expand to ``<path>.codes`` +
+``<path>.scales`` with the logical shape and qtype recorded), so files are
+self-describing, mmap-friendly, and diffable with a five-line script —
+in the same spirit as safetensors, but quantization-aware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import struct
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_experiments_tpu.quant.qtensor import QTensor
+
+MAGIC = b"GXT1"
+ALIGN = 64
+
+_DTYPES = {
+    "float32": np.float32,
+    "float16": np.float16,
+    "bfloat16": None,  # handled via uint16 view
+    "int8": np.int8,
+    "uint8": np.uint8,
+    "int32": np.int32,
+}
+
+
+def _keystr(path) -> str:
+    parts = []
+    for p in path:
+        if isinstance(p, jax.tree_util.GetAttrKey):
+            parts.append(p.name)
+        elif isinstance(p, jax.tree_util.DictKey):
+            parts.append(str(p.key))
+        elif isinstance(p, jax.tree_util.SequenceKey):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _np_for_write(arr) -> Tuple[np.ndarray, str]:
+    a = np.asarray(arr)
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
+def save(path: str, tree: Any) -> None:
+    """Serialize a pytree of jax/np arrays and QTensors to ``path``."""
+    leaves = jax.tree_util.tree_flatten_with_path(tree, is_leaf=lambda x: isinstance(x, QTensor))[0]
+    entries: List[Dict] = []
+    blobs: List[np.ndarray] = []
+
+    def add(name: str, arr, extra=None):
+        a, dtype = _np_for_write(arr)
+        e = {"name": name, "dtype": dtype, "shape": list(a.shape)}
+        if extra:
+            e.update(extra)
+        entries.append(e)
+        blobs.append(np.ascontiguousarray(a))
+
+    for kp, leaf in leaves:
+        name = _keystr(kp)
+        if isinstance(leaf, QTensor):
+            meta = {"qtype": leaf.qtype, "logical_shape": list(leaf.shape)}
+            add(name + ".codes", leaf.codes, {"quant": meta})
+            add(name + ".scales", leaf.scales, {"quant": meta})
+        elif leaf is None:
+            entries.append({"name": name, "dtype": "none", "shape": []})
+            blobs.append(np.zeros((0,), np.uint8))
+        else:
+            add(name, leaf)
+
+    # assign offsets
+    off = 0
+    for e, b in zip(entries, blobs):
+        off = (off + ALIGN - 1) // ALIGN * ALIGN
+        e["offset"] = off
+        e["nbytes"] = int(b.nbytes)
+        off += b.nbytes
+    header = json.dumps({"version": 1, "tensors": entries}).encode()
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(header)))
+        f.write(header)
+        base = f.tell()
+        for e, b in zip(entries, blobs):
+            f.seek(base + e["offset"])
+            f.write(b.tobytes())
+
+
+def load_arrays(path: str) -> Dict[str, Any]:
+    """Load as a flat dict ``{keypath: array | QTensor | None}``."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a GXT1 checkpoint")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        header = json.loads(f.read(hlen))
+        base = f.tell()
+        raw: Dict[str, np.ndarray] = {}
+        meta: Dict[str, Dict] = {}
+        for e in header["tensors"]:
+            if e["dtype"] == "none":
+                raw[e["name"]] = None
+                continue
+            f.seek(base + e["offset"])
+            buf = f.read(e["nbytes"])
+            if e["dtype"] == "bfloat16":
+                a = np.frombuffer(buf, np.uint16).reshape(e["shape"])
+                arr = jnp.asarray(a.view(jnp.bfloat16))
+            else:
+                arr = np.frombuffer(buf, _DTYPES[e["dtype"]]).reshape(e["shape"])
+            raw[e["name"]] = arr
+            if "quant" in e:
+                meta[e["name"]] = e["quant"]
+
+    out: Dict[str, Any] = {}
+    done = set()
+    for name, arr in raw.items():
+        if name in done:
+            continue
+        if name.endswith(".codes") and name in meta:
+            stem = name[: -len(".codes")]
+            q = meta[name]
+            out[stem] = QTensor(
+                codes=jnp.asarray(raw[stem + ".codes"]),
+                scales=jnp.asarray(raw[stem + ".scales"]),
+                shape=tuple(q["logical_shape"]),
+                qtype=q["qtype"],
+            )
+            done.add(stem + ".scales")
+        elif name.endswith(".scales") and name in meta:
+            continue  # paired with .codes
+        else:
+            out[name] = arr if arr is None else jnp.asarray(arr)
+    return out
+
+
+def load_into(path: str, template: Any) -> Any:
+    """Load a checkpoint into the structure of ``template`` (same pytree)."""
+    flat = load_arrays(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(
+        template, is_leaf=lambda x: isinstance(x, QTensor)
+    )
+    new_leaves = []
+    for kp, leaf in leaves:
+        name = _keystr(kp)
+        if name not in flat:
+            raise KeyError(f"checkpoint {path} missing tensor {name!r}")
+        new_leaves.append(flat[name])
+    return jax.tree_util.tree_unflatten(treedef, [l for l in new_leaves])
+
+
+@dataclasses.dataclass
+class CheckpointManager:
+    """Best-by-metric checkpoint rotation — the Keras ``ModelCheckpoint``
+    (save_best_only, monitor=loss) equivalent used by training/
+    (reference: rnn_text_generation.py:84-89)."""
+
+    path: str
+    best: float = float("inf")
+    mode: str = "min"
+
+    def maybe_save(self, tree: Any, metric: float) -> bool:
+        better = metric < self.best if self.mode == "min" else metric > self.best
+        if better:
+            self.best = metric
+            save(self.path, tree)
+        return better

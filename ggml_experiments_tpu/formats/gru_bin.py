@@ -1,0 +1,118 @@
+"""Reader/writer for the reference's positional GRU weight file (``gru.bin``).
+
+Format (writer: /root/reference/rnn_text_gen/rnn_text_generation.py:102-115;
+reader: rnn_text_generation.cpp:117-147): per tensor, ``int32 n_dims``, then
+the dims **in reversed order** ("because the order of dimensions are reversed
+in GGML"), then raw little-endian float32 data, row-major in the original TF
+shape. No names, no magic, no dtype tags — tensors are identified purely by
+position:
+
+  0. embeddings        (vocab, embed)   = (66, 256)
+  1. cell kernel       (embed, 3*units) = (256, 3072)
+  2. recurrent kernel  (units, 3*units) = (1024, 3072)
+  3. cell bias         (2, 3*units)     = (2, 3072)
+  4. dense kernel      (units, vocab)   = (1024, 66)
+  5. dense bias        (vocab,)         = (66,)
+
+Because this framework keeps TF's in-features-first layout throughout, the
+raw data loads with no transposes (the reference instead pre-transposes three
+kernels with a one-off ggml graph at load, .cpp:149-158).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_experiments_tpu.models.gru_textgen import GRUConfig, GRUTextGenParams
+from ggml_experiments_tpu.ops.gru import GRUCellParams
+from ggml_experiments_tpu.quant import quantize
+
+
+def _read_tensor(f: BinaryIO) -> Optional[np.ndarray]:
+    head = f.read(4)
+    if len(head) < 4:
+        return None
+    (n_dims,) = struct.unpack("<i", head)
+    dims = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+    shape = tuple(reversed(dims))  # file stores dims reversed
+    count = int(np.prod(shape))
+    data = np.fromfile(f, dtype="<f4", count=count)
+    if data.size != count:
+        raise EOFError(f"truncated gru.bin tensor: wanted {count} floats, got {data.size}")
+    return data.reshape(shape)
+
+
+def _write_tensor(f: BinaryIO, arr: np.ndarray) -> None:
+    arr = np.ascontiguousarray(arr, dtype="<f4")
+    f.write(struct.pack("<i", arr.ndim))
+    for d in reversed(arr.shape):
+        f.write(struct.pack("<i", d))
+    arr.tofile(f)
+
+
+def read_tensors(path: str) -> List[np.ndarray]:
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            t = _read_tensor(f)
+            if t is None:
+                return out
+            out.append(t)
+
+
+def load_gru_params(path: str, *, qtype: Optional[str] = None) -> GRUTextGenParams:
+    """Load ``gru.bin`` into model params; optionally quantize the big kernels.
+
+    ``qtype`` in {None, "q8_0", "q4_0"}: the cell/recurrent/dense kernels are
+    block-quantized (weight-only); embeddings and biases stay float32, like
+    ggml quantized models keep small tensors in high precision.
+    """
+    tensors = read_tensors(path)
+    if len(tensors) != 6:
+        raise ValueError(f"{path}: expected 6 tensors, found {len(tensors)}")
+    emb, kernel, rec_kernel, bias, dense_k, dense_b = tensors
+    u = rec_kernel.shape[0]
+    if kernel.shape[1] != 3 * u or rec_kernel.shape[1] != 3 * u or bias.shape != (2, 3 * u):
+        raise ValueError(
+            f"{path}: inconsistent GRU shapes: kernel {kernel.shape}, "
+            f"recurrent {rec_kernel.shape}, bias {bias.shape}"
+        )
+
+    def maybe_q(w):
+        return quantize(w, qtype) if qtype else jnp.asarray(w)
+
+    return GRUTextGenParams(
+        embeddings=jnp.asarray(emb),
+        cell=GRUCellParams(
+            kernel=maybe_q(kernel),
+            recurrent_kernel=maybe_q(rec_kernel),
+            bias=jnp.asarray(bias),
+        ),
+        dense_kernel=maybe_q(dense_k),
+        dense_bias=jnp.asarray(dense_b),
+    )
+
+
+def save_gru_params(path: str, params: GRUTextGenParams) -> None:
+    """Write params in the reference's exact binary layout (QTensors are
+    dequantized — the format is float32-only)."""
+
+    def to_np(w):
+        return np.asarray(w.dequantize() if hasattr(w, "dequantize") else w)
+
+    with open(path, "wb") as f:
+        _write_tensor(f, to_np(params.embeddings))
+        _write_tensor(f, to_np(params.cell.kernel))
+        _write_tensor(f, to_np(params.cell.recurrent_kernel))
+        _write_tensor(f, to_np(params.cell.bias))
+        _write_tensor(f, to_np(params.dense_kernel))
+        _write_tensor(f, to_np(params.dense_bias))
+
+
+def config_from_params(params: GRUTextGenParams) -> GRUConfig:
+    v, e = params.embeddings.shape
+    return GRUConfig(vocab_size=v, embed_dim=e, units=params.units)

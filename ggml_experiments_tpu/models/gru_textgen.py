@@ -1,0 +1,149 @@
+"""Character-level GRU text generator (embed -> GRU(reset-after) -> dense).
+
+The TPU-native re-design of the reference's rnn_text_gen example:
+* model graph:   /root/reference/rnn_text_gen/rnn_text_generation.cpp:186-263
+* decode loop:   .cpp:266-314 — there, a host for-loop re-computes a ggml
+  graph per character and memcpy's the state back each step (:305-310).
+  Here the whole decode is ONE ``jax.lax.scan`` compiled by XLA: the
+  recurrent state stays in HBM, the greedy argmax feeds back on-device, and
+  a batch dimension exists from day one (the reference is batch=1 only).
+* training def:  /root/reference/rnn_text_gen/rnn_text_generation.py:52-78
+  (Embedding(66,256) + GRU(1024) + Dense(66)) — see training/gru_trainer.py.
+
+Weights may be float32 or block-quantized QTensors (Q8_0/Q4_0); the gate and
+vocab matmuls then run through the fused dequant+matmul Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ggml_experiments_tpu.ops.gru import GRUCellParams, gru_cell
+from ggml_experiments_tpu.ops.linear import Weight, embedding_lookup, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class GRUConfig:
+    vocab_size: int = 66
+    embed_dim: int = 256
+    units: int = 1024
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GRUTextGenParams:
+    embeddings: jax.Array          # (V, E) — embedding lookup stays float
+    cell: GRUCellParams            # kernels may be QTensor
+    dense_kernel: Weight           # (U, V)
+    dense_bias: Optional[jax.Array]  # (V,)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.embeddings.shape[0]
+
+    @property
+    def units(self) -> int:
+        return self.cell.units
+
+
+def init_params(config: GRUConfig, key: jax.Array) -> GRUTextGenParams:
+    """Random init matching Keras defaults (uniform embeddings, glorot dense)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    v, e, u = config.vocab_size, config.embed_dim, config.units
+    glorot = jax.nn.initializers.glorot_uniform()
+    orth = jax.nn.initializers.orthogonal()
+    return GRUTextGenParams(
+        embeddings=jax.random.uniform(k1, (v, e), jnp.float32, -0.05, 0.05),
+        cell=GRUCellParams(
+            kernel=glorot(k2, (e, 3 * u), jnp.float32),
+            recurrent_kernel=orth(k3, (u, 3 * u), jnp.float32),
+            bias=jnp.zeros((2, 3 * u), jnp.float32),
+        ),
+        dense_kernel=glorot(k4, (u, v), jnp.float32),
+        dense_bias=jnp.zeros((v,), jnp.float32),
+    )
+
+
+def init_state(params: GRUTextGenParams, batch: int) -> jax.Array:
+    return jnp.zeros((batch, params.units), jnp.float32)
+
+
+def step(
+    params: GRUTextGenParams, token_ids: jax.Array, h: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """One decode step. token_ids: (B,) int32, h: (B, U) -> (logits (B, V), h')."""
+    x = embedding_lookup(params.embeddings, token_ids)
+    h = gru_cell(params.cell, x, h)
+    logits = linear(h, params.dense_kernel, params.dense_bias)
+    return logits, h
+
+
+def forward_sequence(
+    params: GRUTextGenParams, token_ids: jax.Array, h0: Optional[jax.Array] = None
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced full-sequence forward (training path).
+
+    token_ids: (B, T) int32 -> (logits (B, T, V), final state (B, U)).
+    """
+    b = token_ids.shape[0]
+    h = init_state(params, b) if h0 is None else h0
+
+    def scan_step(h, tok_t):
+        logits_t, h = step(params, tok_t, h)
+        return h, logits_t
+
+    h_last, logits = jax.lax.scan(scan_step, h, token_ids.swapaxes(0, 1))
+    return logits.swapaxes(0, 1), h_last
+
+
+def generate(
+    params: GRUTextGenParams,
+    prompt_ids: jax.Array,     # (B, P) int32, 0-padded
+    prompt_lengths: jax.Array,  # (B,) int32
+    total_steps: int,
+    *,
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Batched generation replicating the reference decode semantics exactly.
+
+    The reference (.cpp:293-313) runs ``total_steps`` cell evaluations; at
+    step j it feeds prompt[j] while j < prompt_length, else the previous
+    step's greedy argmax, and the emitted text is precisely the sequence of
+    tokens *fed* (200 chars for the 200-step loop; the final step's argmax is
+    computed but never emitted). Returns that token sequence, shape
+    (B, total_steps). ``temperature > 0`` switches greedy argmax for
+    categorical sampling (an extension; the reference is greedy-only).
+    """
+    b, p = prompt_ids.shape
+    if p < total_steps:
+        prompt_pad = jnp.pad(prompt_ids, ((0, 0), (0, total_steps - p)))
+    else:
+        prompt_pad = prompt_ids[:, :total_steps]
+    h0 = init_state(params, b)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def scan_step(carry, inp):
+        h, prev_pred, key = carry
+        j, prompt_t = inp
+        tok = jnp.where(j < prompt_lengths, prompt_t, prev_pred)
+        logits, h = step(params, tok, h)
+        if temperature > 0.0:
+            key, sub = jax.random.split(key)
+            pred = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            pred = jnp.argmax(logits, axis=-1)
+        return (h, pred.astype(jnp.int32), key), tok
+
+    steps_j = jnp.arange(total_steps, dtype=jnp.int32)
+    _, toks = jax.lax.scan(
+        scan_step,
+        (h0, prompt_pad[:, 0], rng),
+        (steps_j, prompt_pad.swapaxes(0, 1)),
+    )
+    return toks.swapaxes(0, 1)  # (B, total_steps)

@@ -1,0 +1,393 @@
+"""MobileViT-small feature extractor / classifier, TPU-native.
+
+Re-designs the reference's mobilevit example (/root/reference/mobilevit/
+main.cpp) as one jit-compiled NHWC function:
+
+* hparams struct          -> :class:`MobileViTConfig` (main.cpp:35-53)
+* mobilevit_conv_layer    -> :class:`~..ops.conv.ConvBNAct` (BN folded at
+                             load, not a 4-op broadcast chain, main.cpp:809-846)
+* inverted_residual_layer -> :class:`InvertedResidualParams` (main.cpp:75-87,:854-870)
+* mobile_net_layer        -> tuple of inverted residuals (main.cpp:89-106)
+* mobilevit_transformer_* -> :class:`TransformerLayerParams` (main.cpp:108-150,:988-1172)
+* mobile_vit_layer        -> :class:`MobileViTBlockParams` (main.cpp:152-177,:1174-1223)
+* unfolding/folding       -> ops.patches.unfold/fold (main.cpp:721-768)
+* load_model_v2/assign_weights -> :func:`from_named_tensors` (main.cpp:314-515)
+* extract_features        -> :func:`extract_features` (main.cpp:604-646) — the
+  1 GiB ggml arena + single-threaded graph walk become XLA buffer assignment
+  + one compiled program.
+
+Weight layouts are TF-native (HWIO convs, in-features-first dense), so the
+``weight.ggml`` export loads with zero runtime permutes. Transformer dense
+kernels may be block-quantized (Q8_0/Q4_0) to run on the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_experiments_tpu.ops.attention import AttentionParams, multi_head_attention
+from ggml_experiments_tpu.ops.conv import ConvBNAct
+from ggml_experiments_tpu.ops.linear import Weight, linear
+from ggml_experiments_tpu.ops.norm import FoldedBN, fold_batchnorm, layer_norm
+from ggml_experiments_tpu.ops.patches import fold, unfold
+from ggml_experiments_tpu.quant import quantize
+
+
+@dataclasses.dataclass(frozen=True)
+class MobileViTConfig:
+    """apple/mobilevit-small hyper-parameters (main.cpp:35-53)."""
+
+    num_channels: int = 3
+    image_size: int = 256
+    patch_size: int = 2
+    hidden_sizes: Tuple[int, int, int] = (144, 192, 240)
+    neck_hidden_sizes: Tuple[int, ...] = (16, 32, 64, 96, 128, 160, 640)
+    num_attention_heads: int = 4
+    mlp_ratio: float = 2.0
+    expand_ratio: float = 4.0
+    conv_kernel_size: int = 3
+    layer_norm_eps: float = 1e-5
+    num_transformer_layers: Tuple[int, int, int] = (2, 4, 3)
+    num_labels: int = 1000  # classifier head (HF MobileViTForImageClassification)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class InvertedResidualParams:
+    """MobileNetV2 block: expand 1x1 -> depthwise 3x3 (stride s) -> reduce 1x1."""
+
+    expand_1x1: ConvBNAct
+    conv_3x3: ConvBNAct
+    reduce_1x1: ConvBNAct
+    use_residual: bool = dataclasses.field(default=False, metadata=dict(static=True))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = self.reduce_1x1(self.conv_3x3(self.expand_1x1(x)))
+        return x + y if self.use_residual else y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TransformerLayerParams:
+    """Pre-LN ViT encoder layer with SiLU MLP (main.cpp:988-1172)."""
+
+    ln_before_gamma: jax.Array
+    ln_before_beta: jax.Array
+    attention: AttentionParams
+    ln_after_gamma: jax.Array
+    ln_after_beta: jax.Array
+    intermediate_kernel: Weight   # (C, mlp_ratio*C)
+    intermediate_bias: jax.Array
+    output_kernel: Weight         # (mlp_ratio*C, C)
+    output_bias: jax.Array
+    eps: float = dataclasses.field(default=1e-5, metadata=dict(static=True))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        attn_in = layer_norm(x, self.ln_before_gamma, self.ln_before_beta, eps=self.eps)
+        x = x + multi_head_attention(self.attention, attn_in)
+        y = layer_norm(x, self.ln_after_gamma, self.ln_after_beta, eps=self.eps)
+        y = jax.nn.silu(linear(y, self.intermediate_kernel, self.intermediate_bias))
+        y = linear(y, self.output_kernel, self.output_bias)
+        return x + y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MobileViTBlockParams:
+    """MobileViT block: local convs + unfold -> transformer -> fold + fusion
+    (main.cpp:152-177, forward :1174-1223)."""
+
+    downsampling: InvertedResidualParams
+    conv_kxk: ConvBNAct
+    conv_1x1: ConvBNAct            # no BN, no act (main.cpp:1183)
+    transformer: Tuple[TransformerLayerParams, ...]
+    ln_gamma: jax.Array
+    ln_beta: jax.Array
+    conv_projection: ConvBNAct
+    fusion: ConvBNAct
+    patch_size: int = dataclasses.field(default=2, metadata=dict(static=True))
+    eps: float = dataclasses.field(default=1e-5, metadata=dict(static=True))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = self.downsampling(x)
+        residual = x
+        f = self.conv_1x1(self.conv_kxk(x))
+        h, w = f.shape[1], f.shape[2]
+        t = unfold(f, self.patch_size)               # (B, P, N, hidden)
+        for layer in self.transformer:
+            t = layer(t)
+        t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
+        f = fold(t, self.patch_size, h, w)
+        f = self.conv_projection(f)
+        return self.fusion(jnp.concatenate([residual, f], axis=-1))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MobileViTParams:
+    conv_stem: ConvBNAct
+    layer_1: Tuple[InvertedResidualParams, ...]
+    layer_2: Tuple[InvertedResidualParams, ...]
+    layer_3: MobileViTBlockParams
+    layer_4: MobileViTBlockParams
+    layer_5: MobileViTBlockParams
+    conv_1x1_exp: ConvBNAct
+    classifier_kernel: Optional[Weight] = None   # (640, num_labels)
+    classifier_bias: Optional[jax.Array] = None
+
+
+def extract_features(params: MobileViTParams, images: jax.Array) -> jax.Array:
+    """images: (B, H, W, 3) NHWC float32 -> features (B, H/32, W/32, 640).
+
+    The whole of main.cpp:604-646 as one traceable function.
+    """
+    x = params.conv_stem(images)
+    for blk in params.layer_1:
+        x = blk(x)
+    for blk in params.layer_2:
+        x = blk(x)
+    x = params.layer_3(x)
+    x = params.layer_4(x)
+    x = params.layer_5(x)
+    return params.conv_1x1_exp(x)
+
+
+def classify(params: MobileViTParams, images: jax.Array) -> jax.Array:
+    """Logits head: global average pool + dense (HF MobileViTForImageClassification)."""
+    if params.classifier_kernel is None:
+        raise ValueError("params have no classifier head")
+    feats = extract_features(params, images)
+    pooled = jnp.mean(feats, axis=(1, 2))
+    return linear(pooled, params.classifier_kernel, params.classifier_bias)
+
+
+# ---------------------------------------------------------------------------
+# Loading from the reference's named-tensor format (TF variable paths)
+# ---------------------------------------------------------------------------
+
+_PREFIX = "tf_mobile_vi_t_model/mobilevit"
+
+
+def _np16(arr: np.ndarray, conv_dtype: Optional[str]) -> np.ndarray:
+    """Optionally round conv kernels through f16, mirroring the reference
+    loader's is_f16 policy for names containing 'convolution' (main.cpp:887)."""
+    if conv_dtype == "float16":
+        return arr.astype(np.float16).astype(np.float32)
+    return arr
+
+
+class _TensorMap:
+    """Name-map access with did-you-mean errors + use tracking."""
+
+    def __init__(self, tensors: Dict[str, np.ndarray]):
+        self.tensors = tensors
+        self.used = set()
+
+    def get(self, name: str) -> np.ndarray:
+        if name not in self.tensors:
+            import difflib
+
+            close = difflib.get_close_matches(name, self.tensors.keys(), n=2)
+            raise KeyError(f"missing weight {name!r}; closest: {close}")
+        self.used.add(name)
+        return self.tensors[name]
+
+    def unused(self):
+        return sorted(set(self.tensors) - self.used)
+
+
+def _conv(
+    tm: _TensorMap,
+    path: str,
+    *,
+    stride: int = 1,
+    use_bn: bool = True,
+    activation: Optional[str] = "silu",
+    depthwise: bool = False,
+    conv_dtype: Optional[str] = None,
+    eps: float = 1e-5,
+) -> ConvBNAct:
+    """Build a ConvBNAct from '<path>/convolution/kernel:0' + normalization.
+
+    Mirrors assign_weights for conv layers (main.cpp:218-234). TF kernels are
+    (KH, KW, IC, OC); TF depthwise kernels are (KH, KW, C, 1) and become our
+    grouped-conv HWIO (KH, KW, 1, C).
+    """
+    kernel = _np16(tm.get(f"{path}/convolution/kernel:0"), conv_dtype)
+    if depthwise:
+        kernel = kernel.transpose(0, 1, 3, 2)
+    bn = None
+    if use_bn:
+        bn = fold_batchnorm(
+            jnp.asarray(tm.get(f"{path}/normalization/gamma:0")),
+            jnp.asarray(tm.get(f"{path}/normalization/beta:0")),
+            jnp.asarray(tm.get(f"{path}/normalization/moving_mean:0")),
+            jnp.asarray(tm.get(f"{path}/normalization/moving_variance:0")),
+            eps=eps,
+        )
+    return ConvBNAct(
+        kernel=jnp.asarray(kernel),
+        bn=bn,
+        activation=activation or "none",
+        stride=stride,
+        depthwise=depthwise,
+    )
+
+
+def _inverted_residual(
+    tm: _TensorMap,
+    path: str,
+    in_ch: int,
+    out_ch: int,
+    stride: int,
+    conv_dtype: Optional[str],
+) -> InvertedResidualParams:
+    return InvertedResidualParams(
+        expand_1x1=_conv(tm, f"{path}/expand_1x1", conv_dtype=conv_dtype),
+        conv_3x3=_conv(tm, f"{path}/conv_3x3", stride=stride, depthwise=True, conv_dtype=conv_dtype),
+        reduce_1x1=_conv(tm, f"{path}/reduce_1x1", activation=None, conv_dtype=conv_dtype),
+        use_residual=(stride == 1 and in_ch == out_ch),
+    )
+
+
+def _maybe_q(arr: np.ndarray, qtype: Optional[str]) -> Weight:
+    return quantize(arr, qtype) if qtype else jnp.asarray(arr)
+
+
+def _transformer_layer(
+    tm: _TensorMap, path: str, num_heads: int, eps: float, qtype: Optional[str]
+) -> TransformerLayerParams:
+    att = f"{path}/attention"
+    return TransformerLayerParams(
+        ln_before_gamma=jnp.asarray(tm.get(f"{path}/layernorm_before/gamma:0")),
+        ln_before_beta=jnp.asarray(tm.get(f"{path}/layernorm_before/beta:0")),
+        attention=AttentionParams(
+            wq=_maybe_q(tm.get(f"{att}/attention/query/kernel:0"), qtype),
+            bq=jnp.asarray(tm.get(f"{att}/attention/query/bias:0")),
+            wk=_maybe_q(tm.get(f"{att}/attention/key/kernel:0"), qtype),
+            bk=jnp.asarray(tm.get(f"{att}/attention/key/bias:0")),
+            wv=_maybe_q(tm.get(f"{att}/attention/value/kernel:0"), qtype),
+            bv=jnp.asarray(tm.get(f"{att}/attention/value/bias:0")),
+            wo=_maybe_q(tm.get(f"{att}/output/dense/kernel:0"), qtype),
+            bo=jnp.asarray(tm.get(f"{att}/output/dense/bias:0")),
+            num_heads=num_heads,
+        ),
+        ln_after_gamma=jnp.asarray(tm.get(f"{path}/layernorm_after/gamma:0")),
+        ln_after_beta=jnp.asarray(tm.get(f"{path}/layernorm_after/beta:0")),
+        intermediate_kernel=_maybe_q(tm.get(f"{path}/intermediate/dense/kernel:0"), qtype),
+        intermediate_bias=jnp.asarray(tm.get(f"{path}/intermediate/dense/bias:0")),
+        output_kernel=_maybe_q(tm.get(f"{path}/output/dense/kernel:0"), qtype),
+        output_bias=jnp.asarray(tm.get(f"{path}/output/dense/bias:0")),
+        eps=eps,
+    )
+
+
+def _vit_block(
+    tm: _TensorMap,
+    path: str,
+    in_ch: int,
+    out_ch: int,
+    n_layers: int,
+    config: MobileViTConfig,
+    conv_dtype: Optional[str],
+    qtype: Optional[str],
+) -> MobileViTBlockParams:
+    eps = config.layer_norm_eps
+    return MobileViTBlockParams(
+        downsampling=InvertedResidualParams(
+            expand_1x1=_conv(tm, f"{path}/downsampling_layer/expand_1x1", conv_dtype=conv_dtype),
+            conv_3x3=_conv(
+                tm, f"{path}/downsampling_layer/conv_3x3", stride=2, depthwise=True,
+                conv_dtype=conv_dtype,
+            ),
+            reduce_1x1=_conv(
+                tm, f"{path}/downsampling_layer/reduce_1x1", activation=None, conv_dtype=conv_dtype
+            ),
+            use_residual=False,
+        ),
+        conv_kxk=_conv(tm, f"{path}/conv_kxk", conv_dtype=conv_dtype),
+        conv_1x1=_conv(tm, f"{path}/conv_1x1", use_bn=False, activation=None, conv_dtype=conv_dtype),
+        transformer=tuple(
+            _transformer_layer(
+                tm, f"{path}/transformer/layer.{i}", config.num_attention_heads, eps, qtype
+            )
+            for i in range(n_layers)
+        ),
+        ln_gamma=jnp.asarray(tm.get(f"{path}/layernorm/gamma:0")),
+        ln_beta=jnp.asarray(tm.get(f"{path}/layernorm/beta:0")),
+        conv_projection=_conv(tm, f"{path}/conv_projection", conv_dtype=conv_dtype),
+        fusion=_conv(tm, f"{path}/fusion", conv_dtype=conv_dtype),
+        patch_size=config.patch_size,
+        eps=eps,
+    )
+
+
+def from_named_tensors(
+    tensors: Dict[str, np.ndarray],
+    config: MobileViTConfig = MobileViTConfig(),
+    *,
+    conv_dtype: Optional[str] = None,
+    qtype: Optional[str] = None,
+    strict: bool = False,
+) -> MobileViTParams:
+    """Assemble model params from a ``weight.ggml``-style name map.
+
+    The name wiring mirrors load_model_v2 (main.cpp:314-515). ``conv_dtype=
+    'float16'`` replicates the reference's f16-conv load policy; ``qtype``
+    block-quantizes every transformer dense kernel.
+    """
+    tm = _TensorMap(tensors)
+    neck = config.neck_hidden_sizes
+    enc = f"{_PREFIX}/encoder"
+
+    def mobile_net_layer(idx: int, in_ch: int, out_ch: int, stride: int, stages: int):
+        blocks = []
+        for i in range(stages):
+            blocks.append(
+                _inverted_residual(
+                    tm, f"{enc}/layer.{idx}/layer.{i}", in_ch, out_ch,
+                    stride if i == 0 else 1, conv_dtype,
+                )
+            )
+            in_ch = out_ch
+        return tuple(blocks)
+
+    params = MobileViTParams(
+        conv_stem=_conv(tm, f"{_PREFIX}/conv_stem", stride=2, conv_dtype=conv_dtype),
+        layer_1=mobile_net_layer(0, neck[0], neck[1], 1, 1),
+        layer_2=mobile_net_layer(1, neck[1], neck[2], 2, 3),
+        layer_3=_vit_block(
+            tm, f"{enc}/layer.2", neck[2], neck[3], config.num_transformer_layers[0],
+            config, conv_dtype, qtype,
+        ),
+        layer_4=_vit_block(
+            tm, f"{enc}/layer.3", neck[3], neck[4], config.num_transformer_layers[1],
+            config, conv_dtype, qtype,
+        ),
+        layer_5=_vit_block(
+            tm, f"{enc}/layer.4", neck[4], neck[5], config.num_transformer_layers[2],
+            config, conv_dtype, qtype,
+        ),
+        conv_1x1_exp=_conv(tm, f"{_PREFIX}/conv_1x1_exp", conv_dtype=conv_dtype),
+    )
+    # optional classifier head (exported from MobileViTForImageClassification)
+    for cand in ("classifier/kernel:0", "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):
+        if cand in tensors:
+            params.classifier_kernel = _maybe_q(tm.get(cand), qtype)
+            params.classifier_bias = jnp.asarray(tm.get(cand.replace("kernel", "bias")))
+            break
+    if strict and tm.unused():
+        raise ValueError(f"unused weights in file: {tm.unused()[:10]} ...")
+    return params
+
+
+def load_mobilevit(path: str, **kw) -> MobileViTParams:
+    """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py)."""
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+
+    return from_named_tensors(read_named_tensors(path), **kw)

@@ -1,0 +1,58 @@
+"""Multi-head self-attention over patch tokens (quantization-aware).
+
+Replaces the reference transformer-layer attention
+(/root/reference/mobilevit/main.cpp:988-1108): Q/K/V/output projections run
+through :func:`~ggml_experiments_tpu.ops.linear.linear` so they accept either
+float or QTensor weights (fused dequant+matmul on TPU); the score/softmax/
+context chain is left to XLA, which fuses it onto the MXU/VPU — no
+hand-scheduled ``ggml_permute``/``ggml_cont`` juggling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ggml_experiments_tpu.ops.linear import Weight, linear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AttentionParams:
+    wq: Weight
+    bq: Optional[jax.Array]
+    wk: Weight
+    bk: Optional[jax.Array]
+    wv: Weight
+    bv: Optional[jax.Array]
+    wo: Weight
+    bo: Optional[jax.Array]
+    num_heads: int = dataclasses.field(default=4, metadata=dict(static=True))
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    *lead, l, d = x.shape
+    return x.reshape(*lead, l, num_heads, d // num_heads).swapaxes(-2, -3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    x = x.swapaxes(-2, -3)
+    *lead, l, h, dh = x.shape
+    return x.reshape(*lead, l, h * dh)
+
+
+def multi_head_attention(p: AttentionParams, x: jax.Array) -> jax.Array:
+    """x: (..., L, C) -> (..., L, C). Full (dense) self-attention, no mask."""
+    num_heads = p.num_heads
+    q = _split_heads(linear(x, p.wq, p.bq), num_heads)  # (..., H, L, dh)
+    k = _split_heads(linear(x, p.wk, p.bk), num_heads)
+    v = _split_heads(linear(x, p.wv, p.bv), num_heads)
+    dh = q.shape[-1]
+    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(dh)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("...qk,...kd->...qd", probs, v)
+    return linear(_merge_heads(ctx), p.wo, p.bo)

@@ -1,0 +1,71 @@
+"""TF-variant GRU cell (reset-after, dual bias rows) — batched, scan-ready.
+
+The compute core of the reference's ``gru_forward``
+(/root/reference/rnn_text_gen/rnn_text_generation.cpp:186-263), which mirrors
+``tf.keras.layers.GRU`` defaults (activation=tanh, recurrent_activation=
+sigmoid, reset_after=True). Weight shapes follow the TF export
+(rnn_text_generation.py:104-115 header comment, .cpp:13-20):
+
+* ``kernel``            (embed_dim, 3*units)   gate order [z | r | h]
+* ``recurrent_kernel``  (units, 3*units)
+* ``bias``              (2, 3*units)           row 0 input bias, row 1 recurrent
+
+Differences from the reference by design: true sigmoid (not the NaN-at-0
+``silu(x)/x`` trick, .cpp:51-55), a batch dimension from day one, and the two
+gate matmuls run through :func:`linear` so kernels may be QTensors (fused
+dequant+matmul). The decode loop lives in models/gru_textgen.py as a
+``jax.lax.scan`` — state stays in HBM, never memcpy'd through the host as in
+the reference (.cpp:305-310).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ggml_experiments_tpu.ops.linear import Weight, linear
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GRUCellParams:
+    kernel: Weight             # (E, 3U)
+    recurrent_kernel: Weight   # (U, 3U)
+    bias: Optional[jax.Array]  # (2, 3U) or None
+
+    @property
+    def units(self) -> int:
+        k = self.recurrent_kernel
+        n = k.shape[1] if hasattr(k, "ndim") else k.n
+        return n // 3
+
+
+def gru_cell(p: GRUCellParams, x: jax.Array, h: jax.Array) -> jax.Array:
+    """One step. x: (B, E), h: (B, U) -> new h (B, U)."""
+    u = h.shape[-1]
+    b_in = p.bias[0] if p.bias is not None else None
+    b_rec = p.bias[1] if p.bias is not None else None
+    mx = linear(x, p.kernel, b_in)             # (B, 3U)
+    mh = linear(h, p.recurrent_kernel, b_rec)  # (B, 3U)
+    xz, xr, xh = mx[..., :u], mx[..., u : 2 * u], mx[..., 2 * u :]
+    rz, rr, rh = mh[..., :u], mh[..., u : 2 * u], mh[..., 2 * u :]
+    z = jax.nn.sigmoid(xz + rz)
+    r = jax.nn.sigmoid(xr + rr)
+    hh = jnp.tanh(xh + r * rh)  # reset-after: r gates the *projected* recurrent term
+    return z * h + (1.0 - z) * hh
+
+
+def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array):
+    """Run over a full sequence with ``lax.scan``.
+
+    xs: (B, T, E), h0: (B, U) -> (outputs (B, T, U), final state (B, U)).
+    """
+    def step(h, x_t):
+        h = gru_cell(p, x_t, h)
+        return h, h
+
+    h_last, ys = jax.lax.scan(step, h0, xs.swapaxes(0, 1))
+    return ys.swapaxes(0, 1), h_last

@@ -1,0 +1,49 @@
+"""Dense / matmul with transparent quantized-weight dispatch.
+
+Replaces ggml's ``ggml_mul_mat`` (+ bias ``ggml_add`` + ``ggml_repeat``
+broadcast chains, e.g. /root/reference/mobilevit/main.cpp:1022-1070): one
+``linear`` op that accepts either a float ``(K, N)`` array or a
+:class:`~ggml_experiments_tpu.quant.QTensor`, in which case the fused
+dequant+matmul Pallas kernel runs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ggml_experiments_tpu.quant import QTensor, qmatmul
+
+Weight = Union[jax.Array, QTensor]
+
+
+def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
+    """``x (..., K) @ w (K, N) -> (..., N)``; QTensor weights use the Pallas kernel."""
+    if isinstance(w, QTensor):
+        return qmatmul(x, w, compute_dtype=compute_dtype)
+    return jnp.dot(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def linear(
+    x: jax.Array,
+    w: Weight,
+    b: Optional[jax.Array] = None,
+    *,
+    compute_dtype=jnp.float32,
+) -> jax.Array:
+    y = matmul(x, w, compute_dtype=compute_dtype)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Row gather — ggml's ``ggml_get_rows`` embedding path
+    (/root/reference/rnn_text_gen/rnn_text_generation.cpp:200)."""
+    return jnp.take(table, ids, axis=0)

@@ -1,0 +1,191 @@
+"""Fused dequant+matmul Pallas TPU kernels for Q8_0 / Q4_0 QTensors.
+
+The TPU-native replacement for ggml's quantized ``ggml_mul_mat`` path
+(``ggml-quants.c`` vec-dot kernels, linked by /root/reference/mobilevit/Makefile:16).
+Instead of ggml's per-row int8 dot on CPU SIMD, we tile the quantized weight
+into VMEM, dequantize in-register on the VPU (codes * per-block scales) and
+feed the MXU with one large dot per tile — weights move HBM->VMEM in their
+compressed form, so the kernel is bandwidth-bound at the *compressed* byte
+count (the whole point of weight-only quantization for decode).
+
+Layout contract (see quant/qtensor.py): ``x (M, K) @ W (K, N)`` with
+``codes (Kp, Np)`` int8 (or nibble-packed ``(Kp//2, Np)`` uint8), ``scales
+(Kp//32, Np)`` f32, Kp % 32 == 0, Np % 128 == 0.
+
+Grid is (M-tiles, N-tiles, K-tiles); K iterates innermost (sequential on TPU)
+accumulating into the f32 output tile, so each output tile stays resident in
+VMEM across the K loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
+
+# Flipped to True on CPU (tests / simulated meshes) where Mosaic can't compile.
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+def _default_interpret() -> bool:
+    if _INTERPRET:
+        return True
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dot(x, w, compute_dtype):
+    # f32 compute => full-precision MXU passes (parity with the fp32 model);
+    # bf16 compute => single-pass MXU (the fast serving path).
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
+def _q8_kernel(x_ref, codes_ref, scales_ref, out_ref, *, compute_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tk, tn = codes_ref.shape
+    w = codes_ref[:].astype(jnp.float32)
+    w = (w.reshape(tk // BLOCK, BLOCK, tn) * scales_ref[:][:, None, :]).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
+def _q4_kernel(x_ref, codes_ref, scales_ref, out_ref, *, compute_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half, tn = codes_ref.shape
+    tk = half * 2
+    w = unpack_q4(codes_ref[:])
+    w = (w.reshape(tk // BLOCK, BLOCK, tn) * scales_ref[:][:, None, :]).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("qtype", "logical_n", "tile_m", "tile_n", "tile_k", "compute_dtype")
+)
+def _qmatmul_2d(
+    x,
+    codes,
+    scales,
+    *,
+    qtype: str,
+    logical_n: int,
+    tile_m: int,
+    tile_n: int,
+    tile_k: int,
+    compute_dtype,
+):
+    m, kp = x.shape
+    np_ = codes.shape[-1]
+    grid = (pl.cdiv(m, tile_m), pl.cdiv(np_, tile_n), pl.cdiv(kp, tile_k))
+
+    kernel = _q8_kernel if qtype == "q8_0" else _q4_kernel
+    kdiv = 1 if qtype == "q8_0" else 2
+
+    flops = 2 * m * kp * np_
+    bytes_accessed = (
+        x.size * x.dtype.itemsize
+        + codes.size * codes.dtype.itemsize
+        + scales.size * 4
+        + m * np_ * 4
+    )
+
+    out = pl.pallas_call(
+        functools.partial(kernel, compute_dtype=compute_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_k // kdiv, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_k // BLOCK, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((_round_up(m, tile_m), np_), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
+        ),
+        interpret=_default_interpret(),
+    )(x, codes, scales)
+    return out[:m, :logical_n]
+
+
+def _pick_tiles(m, kp, np_, qtype):
+    """VMEM-aware tile choice for the small/odd shapes of these workloads."""
+    tile_m = min(_round_up(m, 8), 256)
+    tile_n = min(np_, 512)
+    # keep codes tile under ~1 MB, K a multiple of 32 (whole scale blocks)
+    bytes_per_k = tile_n * (1 if qtype == "q8_0" else 0.5)
+    max_k = int((1 << 20) / max(bytes_per_k, 1))
+    tile_k = min(kp, max(_round_up(min(max_k, kp), BLOCK), BLOCK))
+    # tile_k must divide into grid steps of whole blocks; also x tile must fit
+    while tile_m * tile_k * 4 > (4 << 20) and tile_k > BLOCK:
+        tile_k = _round_up(tile_k // 2, BLOCK)
+    return tile_m, tile_n, tile_k
+
+
+def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:
+    """``x @ dequantize(qt)`` with fused in-kernel dequantization.
+
+    ``x``: float array ``(..., K)``. Returns float32 ``(..., N)``.
+    Falls back to interpret mode automatically off-TPU.
+    """
+    k, n = qt.shape
+    if x.shape[-1] != k:
+        raise ValueError(f"x last dim {x.shape[-1]} != weight K {k}")
+    batch_shape = x.shape[:-1]
+    m = 1
+    for d in batch_shape:
+        m *= d
+    x2 = x.reshape(m, k).astype(jnp.float32)
+    kp = qt.kp
+    if kp != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
+    tile_m, tile_n, tile_k = _pick_tiles(m, kp, qt.np_, qt.qtype)
+    out = _qmatmul_2d(
+        x2,
+        qt.codes,
+        qt.scales,
+        qtype=qt.qtype,
+        logical_n=n,
+        tile_m=tile_m,
+        tile_n=tile_n,
+        tile_k=tile_k,
+        compute_dtype=compute_dtype,
+    )
+    return out.reshape(*batch_shape, n)
+
+
+def qmatmul_reference(x: jax.Array, qt: QTensor) -> jax.Array:
+    """Unfused reference: dequantize-then-matmul in plain XLA (test oracle)."""
+    w = qt.dequantize()
+    return jnp.dot(x.astype(jnp.float32), w, preferred_element_type=jnp.float32)

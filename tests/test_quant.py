@@ -1,0 +1,105 @@
+"""Unit tests for Q8_0/Q4_0 block quantization and the fused matmul kernel.
+
+Covers SURVEY.md §4's plan item (b): kernels vs jnp references, including the
+Pallas fused dequant+matmul vs naive dequantize-then-matmul.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggml_experiments_tpu import quant
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("shape", [(64, 128), (256, 3072), (1024, 66), (144, 144), (100, 30)])
+def test_quantize_roundtrip_error(rng, qtype, shape):
+    w = _rand(rng, *shape)
+    qt = quant.quantize(w, qtype)
+    assert qt.shape == shape
+    wd = np.asarray(quant.dequantize(qt))
+    assert wd.shape == shape
+    # per-block bound: q8_0 |err| <= |d|/2; q4_0 |err| <= |d| (the -absmax
+    # element lands on the clipped q=15 slot, one full step away)
+    blk = quant.BLOCK
+    k, n = shape
+    kp = ((k + blk - 1) // blk) * blk
+    wp = np.zeros((kp, n), np.float32)
+    wp[:k] = w
+    absmax = np.abs(wp.reshape(kp // blk, blk, n)).max(axis=1)
+    bound = absmax / 127.0 * 0.5 + 1e-6 if qtype == "q8_0" else absmax / 8.0 + 1e-6
+    err = np.abs(wd - w).reshape(-1, n)
+    err_blocks = np.abs(wp - np.pad(wd, ((0, kp - k), (0, 0)))).reshape(kp // blk, blk, n)
+    assert np.all(err_blocks.max(axis=1) <= bound + 1e-5), (
+        err_blocks.max(),
+        bound.max(),
+    )
+    del err
+
+
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+def test_q4_extremal_exact(rng, qtype):
+    # the largest-magnitude weight of each block must round-trip (ggml sign trick)
+    w = _rand(rng, 64, 128) * 3.0
+    qt = quant.quantize(w, qtype)
+    wd = np.asarray(quant.dequantize(qt))
+    wb = w.reshape(2, 32, 128)
+    idx = np.abs(wb).argmax(axis=1)
+    ext = np.take_along_axis(wb, idx[:, None, :], axis=1)[:, 0, :]
+    ext_d = np.take_along_axis(wd.reshape(2, 32, 128), idx[:, None, :], axis=1)[:, 0, :]
+    rtol = 1e-2 if qtype == "q8_0" else 1e-6  # q4_0 extremal is exact by construction
+    np.testing.assert_allclose(ext_d, ext, rtol=rtol, atol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (1, 256, 3072),     # GRU input projection, batch 1
+        (8, 1024, 3072),    # GRU recurrent projection, batch 8
+        (4, 1024, 66),      # GRU vocab head (odd N)
+        (16, 144, 144),     # MobileViT hidden (K not 32-multiple)
+        (3, 100, 50),       # odd everything
+    ],
+)
+def test_fused_qmatmul_matches_reference(rng, qtype, m, k, n):
+    w = _rand(rng, k, n)
+    x = _rand(rng, m, k)
+    qt = quant.quantize(w, qtype)
+    ref = np.asarray(quant.qmatmul_reference(jnp.asarray(x), qt))
+    out = np.asarray(quant.qmatmul(jnp.asarray(x), qt))
+    assert out.shape == (m, n)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_qmatmul_batched_shapes(rng):
+    w = _rand(rng, 64, 32)
+    qt = quant.quantize(w, "q8_0")
+    x = _rand(rng, 2, 5, 64)
+    out = quant.qmatmul(jnp.asarray(x), qt)
+    assert out.shape == (2, 5, 32)
+    ref = np.einsum("abk,kn->abn", x, np.asarray(quant.dequantize(qt)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+def test_numpy_block_roundtrip(rng, qtype):
+    w = _rand(rng, 144, 66)
+    qt = quant.quantize(w, qtype)
+    codes, scales = quant.to_numpy_blocks(qt)
+    qt2 = quant.from_numpy_blocks(codes, scales, qt.shape, qtype)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(qt)), np.asarray(quant.dequantize(qt2))
+    )
+
+
+def test_quantization_error_scale(rng):
+    w = _rand(rng, 256, 128)
+    e8 = quant.quantization_error(w, "q8_0")
+    e4 = quant.quantization_error(w, "q4_0")
+    assert e8 < e4  # 8-bit strictly tighter than 4-bit
+    assert e8 < 0.05 and e4 < 0.6
