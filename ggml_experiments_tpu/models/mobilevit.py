@@ -214,13 +214,12 @@ def _conv(
 ) -> ConvBNAct:
     """Build a ConvBNAct from '<path>/convolution/kernel:0' + normalization.
 
-    Mirrors assign_weights for conv layers (main.cpp:218-234). TF kernels are
-    (KH, KW, IC, OC); TF depthwise kernels are (KH, KW, C, 1) and become our
-    grouped-conv HWIO (KH, KW, 1, C).
+    Mirrors assign_weights for conv layers (main.cpp:218-234). HF's TF
+    MobileViT uses grouped Conv2D for depthwise, so kernels are already in
+    our HWIO grouped layout: (KH, KW, IC//groups, OC) — (KH, KW, 1, C) for
+    depthwise. No permutes needed either way.
     """
     kernel = _np16(tm.get(f"{path}/convolution/kernel:0"), conv_dtype)
-    if depthwise:
-        kernel = kernel.transpose(0, 1, 3, 2)
     bn = None
     if use_bn:
         bn = fold_batchnorm(

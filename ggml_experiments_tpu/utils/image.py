@@ -1,0 +1,87 @@
+"""Image loading and preprocessing for MobileViT.
+
+Replaces the reference's vendored stb_image loader + SAM-style bilinear
+preprocess (/root/reference/mobilevit/main.cpp:517-601) with PIL + numpy.
+The resize replicates the reference's exact semantics — align-corners=False
+bilinear sampling of u8 values, rounding each sample back to u8, long side
+scaled to ``size`` (the short side leaves the rest of the canvas zero), then
+x/255 normalization — so preprocessed pixels match the C++ byte-for-byte.
+
+Also provides the deterministic synthetic test image the reference bakes in
+as its golden-test input (main.cpp:681-688).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synthetic_test_image(size: int = 256) -> np.ndarray:
+    """The reference's golden-test input: ((y*size*3 + x*3 + c) % 256)/255,
+    shape (size, size, 3) float32 (main.cpp:681-688)."""
+    idx = np.arange(size * size * 3, dtype=np.int64).reshape(size, size, 3)
+    return ((idx % 256) / 255.0).astype(np.float32)
+
+
+def bilinear_resize_u8(img: np.ndarray, out_h: int, out_w: int, scale: float) -> np.ndarray:
+    """Reference-exact bilinear resample of a u8 HWC image (main.cpp:561-598).
+
+    Samples at ``(x + 0.5)*scale - 0.5`` with edge clamping, rounds to u8.
+    Only the top-left (out_h, out_w) region is produced.
+    """
+    h, w, c = img.shape
+    ys = np.arange(out_h, dtype=np.float32)
+    xs = np.arange(out_w, dtype=np.float32)
+    sy = (ys + 0.5) * scale - 0.5
+    sx = (xs + 0.5) * scale - 0.5
+    y0 = np.maximum(0, np.floor(sy).astype(np.int64))
+    x0 = np.maximum(0, np.floor(sx).astype(np.int64))
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    dy = (sy - y0).astype(np.float32)[:, None, None]
+    dx = (sx - x0).astype(np.float32)[None, :, None]
+    f = img.astype(np.float32)
+    v00 = f[y0][:, x0]
+    v01 = f[y0][:, x1]
+    v10 = f[y1][:, x0]
+    v11 = f[y1][:, x1]
+    v0 = v00 * (1 - dx) + v01 * dx
+    v1 = v10 * (1 - dx) + v11 * dx
+    v = v0 * (1 - dy) + v1 * dy
+    return np.clip(np.round(v), 0, 255).astype(np.uint8)
+
+
+def preprocess(
+    img_u8: np.ndarray,
+    size: int = 256,
+    mean: tuple = (0.0, 0.0, 0.0),
+    std: tuple = (255.0, 255.0, 255.0),
+) -> np.ndarray:
+    """u8 HWC image -> (size, size, 3) float32, reference-equivalent.
+
+    Long side scales to ``size``; the uncovered margin stays zero (the
+    reference resizes into a zeroed canvas); each channel is (v - mean)/std
+    (defaults = the reference's active values; SAM means are commented out
+    there, main.cpp:556-559).
+    """
+    h, w, _ = img_u8.shape
+    scale = max(h, w) / float(size)
+    out_h = int(h / scale + 0.5)
+    out_w = int(w / scale + 0.5)
+    resized = bilinear_resize_u8(img_u8, out_h, out_w, scale)
+    canvas = np.zeros((size, size, 3), np.float32)
+    canvas[:out_h, :out_w] = (resized.astype(np.float32) - np.asarray(mean)) / np.asarray(std)
+    return canvas
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode an image file to u8 RGB HWC (stb_image / sam_image_load_from_file
+    equivalent, main.cpp:517-535)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def load_and_preprocess(path: str, size: int = 256) -> np.ndarray:
+    return preprocess(load_image(path), size=size)
