@@ -1,0 +1,163 @@
+"""Benchmark: GRU Q8_0 batched decode throughput on TPU vs single-thread CPU baseline.
+
+Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": "tokens/s/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is measured
+here: a faithful single-threaded numpy implementation of the reference's
+batch-1 token-by-token decode loop (rnn_text_generation.cpp:293-313 — ggml
+with n_threads=1; BLAS-backed numpy is a generous stand-in for ggml's f32
+CPU path). The headline is the framework's TPU path: the same model with
+Q8_0 fused dequant+matmul kernels, decode as one lax.scan, batched.
+
+Secondary metrics (MobileViT images/s, fp32 GRU, per-config breakdown) go to
+stderr so stdout stays a single JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")  # baseline is single-thread like the reference
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# CPU baseline: reference-style batch-1 greedy decode, single thread, numpy
+# ---------------------------------------------------------------------------
+
+def cpu_baseline_tokens_per_s(weights, steps=200):
+    emb, kernel, rec_kernel, bias, dense_k, dense_b = weights
+    u = rec_kernel.shape[0]
+    h = np.zeros((1, u), np.float32)
+    tok = 0
+
+    def sigmoid(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = emb[None, tok]
+        mx = x @ kernel + bias[0]
+        mh = h @ rec_kernel + bias[1]
+        z = sigmoid(mx[:, :u] + mh[:, :u])
+        r = sigmoid(mx[:, u:2*u] + mh[:, u:2*u])
+        hh = np.tanh(mx[:, 2*u:] + r * mh[:, 2*u:])
+        h = z * h + (1 - z) * hh
+        logits = h @ dense_k + dense_b
+        tok = int(np.argmax(logits[0]))
+    dt = time.perf_counter() - t0
+    return steps / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    # persistent compile cache: the axon remote-compile hop is expensive
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.ops.gru import GRUCellParams
+    from ggml_experiments_tpu.quant import quantize
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    # full-size reference model shapes (66 vocab / 256 embed / 1024 units),
+    # random weights (the checkpoint is unfetchable; shapes determine perf)
+    rng = np.random.default_rng(0)
+    cfg = GRUConfig()
+    v, e, u = cfg.vocab_size, cfg.embed_dim, cfg.units
+    weights = [
+        (rng.standard_normal((v, e)) * 0.05).astype(np.float32),
+        (rng.standard_normal((e, 3 * u)) * 0.05).astype(np.float32),
+        (rng.standard_normal((u, 3 * u)) * 0.05).astype(np.float32),
+        (rng.standard_normal((2, 3 * u)) * 0.05).astype(np.float32),
+        (rng.standard_normal((u, v)) * 0.05).astype(np.float32),
+        np.zeros((v,), np.float32),
+    ]
+
+    baseline = cpu_baseline_tokens_per_s(weights, steps=200)
+    log(f"cpu single-thread batch-1 baseline: {baseline:,.0f} tokens/s")
+
+    params = gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray(weights[0]),
+        cell=GRUCellParams(
+            kernel=quantize(weights[1], "q8_0"),
+            recurrent_kernel=quantize(weights[2], "q8_0"),
+            bias=jnp.asarray(weights[3]),
+        ),
+        dense_kernel=quantize(weights[4], "q8_0"),
+        dense_bias=jnp.asarray(weights[5]),
+    )
+
+    batch, steps = 256, 256
+    prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
+    lengths = jnp.full((batch,), 8, jnp.int32)
+    gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps",))
+
+    def run_blocking(fn, *args, **kw):
+        """Time with a scalar host read — on the tunneled axon backend,
+        block_until_ready returns before remote execution finishes."""
+        out = fn(*args, **kw)
+        return float(jnp.sum(out))
+
+    t0 = time.perf_counter()
+    run_blocking(gen, params, prompt, lengths, total_steps=steps)
+    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_blocking(gen, params, prompt, lengths, total_steps=steps)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    tokens_per_s = batch * steps / best
+    log(f"TPU q8_0 batched decode: batch={batch} steps={steps} best={best*1e3:.1f}ms "
+        f"-> {tokens_per_s:,.0f} tokens/s/chip; per-step {best/steps*1e6:.0f}us")
+
+    # secondary: MobileViT q8_0 images/s
+    try:
+        from ggml_experiments_tpu.models.mobilevit import (
+            MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
+        )
+        from ggml_experiments_tpu.utils.image import synthetic_test_image
+
+        mv_cfg = MobileViTConfig()
+        mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
+        images = jnp.asarray(np.stack([synthetic_test_image(256)] * 8))
+        feat_fn = jax.jit(extract_features)
+        t0 = time.perf_counter()
+        run_blocking(feat_fn, mv, images)
+        log(f"mobilevit compile+first: {time.perf_counter()-t0:.1f}s")
+        mv_times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_blocking(feat_fn, mv, images)
+            mv_times.append(time.perf_counter() - t0)
+        log(f"TPU q8_0 MobileViT: batch=8 best={min(mv_times)*1e3:.1f}ms -> "
+            f"{8/min(mv_times):,.1f} images/s/chip")
+    except Exception as ex:  # secondary metric must not break the headline
+        log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
+
+    print(json.dumps({
+        "metric": "gru_q8_0_decode_throughput",
+        "value": round(tokens_per_s, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(tokens_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -385,6 +385,76 @@ def from_named_tensors(
     return params
 
 
+def random_named_tensors(
+    config: MobileViTConfig = MobileViTConfig(), *, seed: int = 0, classifier: bool = False
+) -> Dict[str, np.ndarray]:
+    """Generate a full random weight map with the exact TF variable names/shapes
+    the converter exports — for benchmarking and smoke tests when the real
+    apple/mobilevit-small checkpoint is unavailable (no egress). Host-side
+    numpy only: no device compiles at construction time.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, np.ndarray] = {}
+
+    def conv(path, kh, kw, ic, oc, bn=True):
+        fan_in = kh * kw * ic
+        out[f"{path}/convolution/kernel:0"] = (
+            rng.standard_normal((kh, kw, ic, oc)) * np.sqrt(2.0 / fan_in)
+        ).astype(np.float32)
+        if bn:
+            out[f"{path}/normalization/gamma:0"] = np.ones(oc, np.float32)
+            out[f"{path}/normalization/beta:0"] = np.zeros(oc, np.float32)
+            out[f"{path}/normalization/moving_mean:0"] = np.zeros(oc, np.float32)
+            out[f"{path}/normalization/moving_variance:0"] = np.ones(oc, np.float32)
+
+    def dense(path, k, n):
+        lim = np.sqrt(6.0 / (k + n))
+        out[f"{path}/kernel:0"] = rng.uniform(-lim, lim, (k, n)).astype(np.float32)
+        out[f"{path}/bias:0"] = np.zeros(n, np.float32)
+
+    def inverted(path, in_ch, out_ch, expand):
+        conv(f"{path}/expand_1x1", 1, 1, in_ch, expand)
+        conv(f"{path}/conv_3x3", 3, 3, 1, expand)
+        conv(f"{path}/reduce_1x1", 1, 1, expand, out_ch)
+
+    neck = config.neck_hidden_sizes
+    er = int(config.expand_ratio)
+    enc = f"{_PREFIX}/encoder"
+    conv(f"{_PREFIX}/conv_stem", 3, 3, config.num_channels, neck[0])
+    # layer_1 (1 stage), layer_2 (3 stages)
+    inverted(f"{enc}/layer.0/layer.0", neck[0], neck[1], neck[0] * er)
+    in_ch = neck[1]
+    for i in range(3):
+        inverted(f"{enc}/layer.1/layer.{i}", in_ch, neck[2], in_ch * er)
+        in_ch = neck[2]
+    # MobileViT blocks
+    for li, (in_c, out_c, hidden, n_layers) in enumerate(
+        zip(neck[2:5], neck[3:6], config.hidden_sizes, config.num_transformer_layers)
+    ):
+        path = f"{enc}/layer.{li + 2}"
+        inverted(f"{path}/downsampling_layer", in_c, out_c, in_c * er)
+        conv(f"{path}/conv_kxk", config.conv_kernel_size, config.conv_kernel_size, out_c, out_c)
+        conv(f"{path}/conv_1x1", 1, 1, out_c, hidden, bn=False)
+        for i in range(n_layers):
+            tl = f"{path}/transformer/layer.{i}"
+            for nm in ("attention/attention/query", "attention/attention/key",
+                       "attention/attention/value", "attention/output/dense"):
+                dense(f"{tl}/{nm}", hidden, hidden)
+            dense(f"{tl}/intermediate/dense", hidden, int(hidden * config.mlp_ratio))
+            dense(f"{tl}/output/dense", int(hidden * config.mlp_ratio), hidden)
+            for ln in ("layernorm_before", "layernorm_after"):
+                out[f"{tl}/{ln}/gamma:0"] = np.ones(hidden, np.float32)
+                out[f"{tl}/{ln}/beta:0"] = np.zeros(hidden, np.float32)
+        out[f"{path}/layernorm/gamma:0"] = np.ones(hidden, np.float32)
+        out[f"{path}/layernorm/beta:0"] = np.zeros(hidden, np.float32)
+        conv(f"{path}/conv_projection", 1, 1, hidden, out_c)
+        conv(f"{path}/fusion", config.conv_kernel_size, config.conv_kernel_size, 2 * out_c, out_c)
+    conv(f"{_PREFIX}/conv_1x1_exp", 1, 1, neck[5], neck[6])
+    if classifier:
+        dense("classifier", neck[6], config.num_labels)
+    return out
+
+
 def load_mobilevit(path: str, **kw) -> MobileViTParams:
     """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py)."""
     from ggml_experiments_tpu.formats.ggml_named import read_named_tensors

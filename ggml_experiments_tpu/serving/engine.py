@@ -1,0 +1,250 @@
+"""Continuous-batching generation engine for the GRU text generator.
+
+The serving design BASELINE.json's north star asks for and the reference
+lacks entirely (its decode is one prompt, batch 1, in main(), SURVEY.md §3.2):
+a fixed pool of B decode *slots* lives on device; the host enqueues requests,
+a jitted slot-step advances all slots ``inner_steps`` tokens per device call
+(one ``lax.scan``), finished slots are evicted and refilled without stalling
+the others. Decode state (GRU h, cursors, prompt buffers) is donated between
+calls so it stays resident in HBM — the TPU equivalent of a KV-cache-resident
+serving loop, with no per-token host round-trip (contrast the reference's
+per-token ``memcpy`` + graph recompute, rnn_text_generation.cpp:303-311).
+
+Per-slot prefill is teacher-forcing: while ``pos < prompt_len`` the slot
+consumes prompt tokens, afterwards its own argmax/sample — the same semantics
+as models/gru_textgen.generate, so a continuous-batched request reproduces
+the offline decode exactly (tested in tests/test_serving.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ggml_experiments_tpu.models import gru_textgen
+from ggml_experiments_tpu.models.gru_textgen import GRUTextGenParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SlotState:
+    """Device-resident decode state for all slots."""
+
+    h: jax.Array        # (B, U) recurrent state
+    prev: jax.Array     # (B,) previous prediction
+    pos: jax.Array      # (B,) tokens consumed so far
+    total: jax.Array    # (B,) prompt_len + max_new_tokens
+    plen: jax.Array     # (B,) prompt length
+    prompt: jax.Array   # (B, Pmax) prompt ids
+
+
+def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotState:
+    u = params.units
+    return SlotState(
+        h=jnp.zeros((n_slots, u), jnp.float32),
+        prev=jnp.zeros((n_slots,), jnp.int32),
+        pos=jnp.zeros((n_slots,), jnp.int32),
+        total=jnp.zeros((n_slots,), jnp.int32),   # total==0 -> slot idle
+        plen=jnp.zeros((n_slots,), jnp.int32),
+        prompt=jnp.zeros((n_slots, max_prompt), jnp.int32),
+    )
+
+
+def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int):
+    """Advance every slot ``inner_steps`` tokens. Returns (state, toks, valid)
+    with toks/valid shaped (B, inner_steps); valid marks tokens belonging to a
+    live request (idle slots churn but their output is masked)."""
+
+    def one(state: SlotState, _):
+        active = state.pos < state.total
+        in_prompt = state.pos < state.plen
+        pcur = jnp.take_along_axis(
+            state.prompt, jnp.minimum(state.pos, state.prompt.shape[1] - 1)[:, None], axis=1
+        )[:, 0]
+        tok = jnp.where(in_prompt, pcur, state.prev)
+        logits, h_new = gru_textgen.step(params, tok, state.h)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        new = SlotState(
+            h=jnp.where(active[:, None], h_new, state.h),
+            prev=jnp.where(active, pred, state.prev),
+            pos=state.pos + active.astype(jnp.int32),
+            total=state.total,
+            plen=state.plen,
+            prompt=state.prompt,
+        )
+        return new, (tok, active)
+
+    state, (toks, valid) = jax.lax.scan(one, state, None, length=inner_steps)
+    return state, toks.swapaxes(0, 1), valid.swapaxes(0, 1)
+
+
+def _reset_slots(state: SlotState, mask, prompt, plen, total) -> SlotState:
+    """Install new requests into masked slots (mask (B,) bool; full-size args)."""
+    m1 = mask[:, None]
+    return SlotState(
+        h=jnp.where(m1, 0.0, state.h),
+        prev=jnp.where(mask, 0, state.prev),
+        pos=jnp.where(mask, 0, state.pos),
+        total=jnp.where(mask, total, state.total),
+        plen=jnp.where(mask, plen, state.plen),
+        prompt=jnp.where(m1, prompt, state.prompt),
+    )
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: np.ndarray
+    max_new_tokens: int
+    id: int = -1
+    _done: threading.Event = dataclasses.field(default_factory=threading.Event)
+    _tokens: List[int] = dataclasses.field(default_factory=list)
+
+    def result(self, timeout: Optional[float] = None) -> np.ndarray:
+        """Block until finished; returns all tokens (prompt + generated)."""
+        if not self._done.wait(timeout):
+            raise TimeoutError(f"request {self.id} not finished")
+        return np.asarray(self._tokens, np.int32)
+
+
+@dataclasses.dataclass
+class EngineStats:
+    tokens_generated: int = 0
+    requests_completed: int = 0
+    device_steps: int = 0
+    wall_time_s: float = 0.0
+
+    @property
+    def tokens_per_s(self) -> float:
+        return self.tokens_generated / self.wall_time_s if self.wall_time_s else 0.0
+
+
+class DecodeEngine:
+    """Slot-based continuous batching over a single jitted step function.
+
+    Thread-safe: ``submit`` from any thread; a background worker drives the
+    device. ``inner_steps`` trades scheduling latency for per-call overhead.
+    """
+
+    def __init__(
+        self,
+        params: GRUTextGenParams,
+        *,
+        n_slots: int = 8,
+        max_prompt: int = 64,
+        inner_steps: int = 16,
+    ):
+        self.params = params
+        self.n_slots = n_slots
+        self.max_prompt = max_prompt
+        self.inner_steps = inner_steps
+        self.state = init_state(params, n_slots, max_prompt)
+        self._scan = jax.jit(
+            _slot_scan, static_argnames=("inner_steps",), donate_argnames=("state",)
+        )
+        self._reset = jax.jit(_reset_slots, donate_argnames=("state",))
+        self._queue: "queue.Queue[Request]" = queue.Queue()
+        self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
+        self._next_id = 0
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = EngineStats()
+
+    # -- public API ---------------------------------------------------------
+    def submit(self, prompt_ids, max_new_tokens: int) -> Request:
+        prompt_ids = np.asarray(prompt_ids, np.int32)
+        if prompt_ids.ndim != 1 or prompt_ids.size == 0:
+            raise ValueError("prompt_ids must be a non-empty 1-D int array")
+        if prompt_ids.size > self.max_prompt:
+            raise ValueError(f"prompt longer than max_prompt={self.max_prompt}")
+        req = Request(prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=self._next_id)
+        self._next_id += 1
+        self._queue.put(req)
+        return req
+
+    def start(self):
+        if self._thread is None:
+            self._stop.clear()
+            self._thread = threading.Thread(target=self._run, daemon=True)
+            self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def run_until_idle(self, timeout_s: float = 120.0):
+        """Synchronous drive: process queued requests until all complete."""
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            busy = self._tick()
+            if not busy and self._queue.empty():
+                return
+        raise TimeoutError("engine did not drain in time")
+
+    # -- engine internals ---------------------------------------------------
+    def _refill(self) -> bool:
+        """Install queued requests into idle slots. Returns True if any live slot."""
+        pos = np.asarray(self.state.pos)
+        total = np.asarray(self.state.total)
+        idle = pos >= total
+        mask = np.zeros(self.n_slots, bool)
+        prompt = np.zeros((self.n_slots, self.max_prompt), np.int32)
+        plen = np.zeros(self.n_slots, np.int32)
+        tot = np.zeros(self.n_slots, np.int32)
+        for i in range(self.n_slots):
+            if not idle[i]:
+                continue
+            # evict finished request
+            req = self._slot_req[i]
+            if req is not None and total[i] > 0:
+                self._slot_req[i] = None
+                self.stats.requests_completed += 1
+                req._done.set()
+            try:
+                new_req = self._queue.get_nowait()
+            except queue.Empty:
+                continue
+            mask[i] = True
+            p = new_req.prompt_ids
+            prompt[i, : p.size] = p
+            plen[i] = p.size
+            tot[i] = p.size + new_req.max_new_tokens
+            self._slot_req[i] = new_req
+        if mask.any():
+            self.state = self._reset(
+                self.state, jnp.asarray(mask), jnp.asarray(prompt), jnp.asarray(plen),
+                jnp.asarray(tot),
+            )
+        return bool((np.asarray(self.state.pos) < np.asarray(self.state.total)).any())
+
+    def _tick(self) -> bool:
+        busy = self._refill()
+        if not busy:
+            return False
+        t0 = time.perf_counter()
+        self.state, toks, valid = self._scan(self.params, self.state, self.inner_steps)
+        toks = np.asarray(toks)
+        valid = np.asarray(valid)
+        self.stats.wall_time_s += time.perf_counter() - t0
+        self.stats.device_steps += 1
+        for i in range(self.n_slots):
+            req = self._slot_req[i]
+            if req is None:
+                continue
+            n = int(valid[i].sum())
+            req._tokens.extend(int(t) for t in toks[i, :n])
+            self.stats.tokens_generated += n
+        return True
+
+    def _run(self):
+        while not self._stop.is_set():
+            if not self._tick():
+                time.sleep(0.001)

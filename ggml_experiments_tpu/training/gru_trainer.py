@@ -1,0 +1,141 @@
+"""GRU language-model training: Adam + sparse CE, SPMD over a (data, model) mesh.
+
+The JAX re-design of the reference's TF training path
+(rnn_text_generation.py:79-99: compile(adam, SparseCategoricalCrossentropy
+(from_logits=True)), fit with a best-by-loss ModelCheckpoint). Here the train
+step is one jitted SPMD program: batch sharded over ``data``, gate kernels
+tensor-sharded over ``model`` (parallel/sharding.py), gradients meaned by
+XLA's psum over the data axis — no NCCL/MPI analog needed (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ggml_experiments_tpu.models import gru_textgen
+from ggml_experiments_tpu.models.gru_textgen import GRUConfig, GRUTextGenParams
+from ggml_experiments_tpu.parallel import mesh as mesh_lib
+from ggml_experiments_tpu.parallel.sharding import gru_param_specs, place
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3   # Keras adam default (reference :93)
+    epochs: int = 20              # reference :92
+    log_every: int = 50
+    checkpoint_path: Optional[str] = None
+
+
+def sparse_softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean CE from logits — tf.losses.SparseCategoricalCrossentropy(from_logits=True)."""
+    return optax.softmax_cross_entropy_with_integer_labels(logits, targets).mean()
+
+
+def loss_fn(params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array) -> jax.Array:
+    logits, _ = gru_textgen.forward_sequence(params, inputs)
+    return sparse_softmax_cross_entropy(logits, targets)
+
+
+def make_train_step(
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+) -> Callable:
+    """Build the jitted (params, opt_state, inputs, targets) -> ... step.
+
+    With a mesh, inputs/targets are expected sharded over ``data`` and params
+    per ``gru_param_specs``; XLA derives gradient/optimizer shardings and
+    inserts the cross-device collectives.
+    """
+
+    def train_step(params, opt_state, inputs, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, inputs, targets)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0, 1))
+
+    data_sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    return jax.jit(
+        train_step,
+        donate_argnums=(0, 1),
+        in_shardings=(None, None, data_sh, data_sh),  # params/opt keep their placement
+    )
+
+
+def train(
+    params: GRUTextGenParams,
+    batches: Iterable[Tuple[Any, Any]],
+    cfg: TrainConfig = TrainConfig(),
+    *,
+    mesh=None,
+    log: Callable[[dict], None] = None,
+) -> Tuple[GRUTextGenParams, list]:
+    """Run the training loop over an iterable of (inputs, targets) batches.
+
+    Returns (params, history). With ``cfg.checkpoint_path``, keeps the
+    best-by-loss native checkpoint (formats/checkpoint.py), mirroring the
+    reference's ModelCheckpoint(save_best_only, monitor='loss').
+    """
+    optimizer = optax.adam(cfg.learning_rate)
+    if mesh is not None:
+        params = place(params, gru_param_specs(params), mesh)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(optimizer, mesh)
+
+    manager = None
+    if cfg.checkpoint_path:
+        from ggml_experiments_tpu.formats.checkpoint import CheckpointManager
+
+        manager = CheckpointManager(cfg.checkpoint_path)
+
+    history = []
+    t0 = time.time()
+    for i, (inputs, targets) in enumerate(batches):
+        inputs = jnp.asarray(inputs)
+        targets = jnp.asarray(targets)
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+            inputs = jax.device_put(inputs, sh)
+            targets = jax.device_put(targets, sh)
+        params, opt_state, loss = step_fn(params, opt_state, inputs, targets)
+        if i % cfg.log_every == 0 or manager is not None:
+            loss_val = float(loss)
+            rec = {"step": i, "loss": loss_val, "elapsed_s": time.time() - t0}
+            history.append(rec)
+            if log is not None and i % cfg.log_every == 0:
+                log(rec)
+            if manager is not None:
+                manager.maybe_save(params, loss_val)
+    return params, history
+
+
+def train_from_text(
+    text: str,
+    *,
+    model_config: GRUConfig = GRUConfig(),
+    train_config: TrainConfig = TrainConfig(),
+    data_config=None,
+    seed: int = 0,
+    mesh=None,
+):
+    """End-to-end: corpus text -> trained params (the reference script's
+    top-to-bottom flow, rnn_text_generation.py)."""
+    from ggml_experiments_tpu.training.data import DataConfig, batches as make_batches, make_examples
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    data_config = data_config or DataConfig()
+    tok = CharTokenizer()
+    examples = make_examples(text, tok, data_config)
+    params = gru_textgen.init_params(model_config, jax.random.PRNGKey(seed))
+    stream = make_batches(examples, data_config, seed=seed, epochs=train_config.epochs)
+    params, history = train(params, stream, train_config, mesh=mesh)
+    return params, history, tok

@@ -1,0 +1,129 @@
+"""Multi-chip SPMD tests on the simulated 8-device CPU mesh (SURVEY.md §4 (d)).
+
+Validates: mesh construction, DP+TP placement of float and QTensor params,
+sharded == single-device numerics for forward/decode, and the sharded train
+step (the dryrun_multichip path in __graft_entry__.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ggml_experiments_tpu import quant
+from ggml_experiments_tpu.models import gru_textgen
+from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+from ggml_experiments_tpu.parallel import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    gru_param_specs,
+    infer_mesh_shape,
+    make_mesh,
+    place,
+)
+from ggml_experiments_tpu.training.gru_trainer import make_train_step
+
+CFG = GRUConfig(vocab_size=66, embed_dim=32, units=64)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return make_mesh((2, 4))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return gru_textgen.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_infer_mesh_shape():
+    assert infer_mesh_shape(8) == (1, 8)
+    assert infer_mesh_shape(16) == (2, 8)
+    assert infer_mesh_shape(2) == (1, 2)
+    assert infer_mesh_shape(1) == (1, 1)
+
+
+def test_make_mesh_bad_shape():
+    with pytest.raises(ValueError, match="mesh shape"):
+        make_mesh((3, 5))
+
+
+def test_placed_params_shardings(mesh, params):
+    placed = place(params, gru_param_specs(params), mesh)
+    k = placed.cell.kernel
+    assert k.sharding.spec == P(None, MODEL_AXIS)
+    # each device holds 1/4 of the gate dim
+    shard_shapes = {s.data.shape for s in k.addressable_shards}
+    assert shard_shapes == {(32, 3 * 64 // 4)}
+    assert placed.embeddings.sharding.spec == P()
+
+
+def test_sharded_forward_matches_single_device(mesh, params):
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 12), 0, 66)
+    logits_ref, _ = gru_textgen.forward_sequence(params, ids)
+    placed = place(params, gru_param_specs(params), mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P(DATA_AXIS)))
+    logits_sh, _ = jax.jit(gru_textgen.forward_sequence)(placed, ids_sh)
+    np.testing.assert_allclose(np.asarray(logits_sh), np.asarray(logits_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_decode_matches_single_device(mesh, params):
+    prompt = jnp.asarray(np.tile(np.arange(5, dtype=np.int32), (8, 1)))
+    lengths = jnp.full((8,), 5, jnp.int32)
+    ref = np.asarray(gru_textgen.generate(params, prompt, lengths, 30))
+    placed = place(params, gru_param_specs(params), mesh)
+    got = np.asarray(
+        jax.jit(gru_textgen.generate, static_argnames=("total_steps",))(
+            placed,
+            jax.device_put(prompt, NamedSharding(mesh, P(DATA_AXIS))),
+            jax.device_put(lengths, NamedSharding(mesh, P(DATA_AXIS))),
+            total_steps=30,
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_quantized_params_shard_and_run(mesh):
+    """QTensor codes+scales shard over the model axis and still match the
+    unsharded fused kernel result."""
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 3 * 64)).astype(np.float32) * 0.1
+    qt = quant.quantize(w, "q8_0")
+    x = jnp.asarray(rng.standard_normal((8, 64)).astype(np.float32))
+    ref = np.asarray(quant.qmatmul(x, qt))
+
+    from ggml_experiments_tpu.parallel.sharding import qtensor_sharding
+
+    qt_sh = qtensor_sharding(mesh, qt, P(None, MODEL_AXIS))
+    assert qt_sh.codes.sharding.spec == P(None, MODEL_AXIS)
+    got = np.asarray(quant.qmatmul(jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), qt_sh))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_train_step_runs_and_matches(mesh, params):
+    """One DP+TP train step: loss finite, matches the unsharded step."""
+    optimizer = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    inputs = rng.integers(0, 66, (8, 16)).astype(np.int32)
+    targets = rng.integers(0, 66, (8, 16)).astype(np.int32)
+
+    # single-device baseline
+    step0 = make_train_step(optimizer, mesh=None)
+    p0 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    _, _, loss0 = step0(p0, optimizer.init(p0), jnp.asarray(inputs), jnp.asarray(targets))
+
+    placed = place(params, gru_param_specs(params), mesh)
+    opt_state = optimizer.init(placed)
+    step = make_train_step(optimizer, mesh=mesh)
+    sh = NamedSharding(mesh, P(DATA_AXIS))
+    new_params, _, loss = step(
+        placed, opt_state, jax.device_put(jnp.asarray(inputs), sh),
+        jax.device_put(jnp.asarray(targets), sh),
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-5)
+    # params actually updated, still sharded
+    assert new_params.cell.kernel.sharding.spec == P(None, MODEL_AXIS)
