@@ -105,7 +105,7 @@ def main():
     batch, steps = 256, 256
     prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
     lengths = jnp.full((batch,), 8, jnp.int32)
-    gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps",))
+    gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps", "compute_dtype"))
 
     def run_blocking(fn, *args, **kw):
         """Time with a scalar host read — on the tunneled axon backend,
@@ -113,19 +113,25 @@ def main():
         out = fn(*args, **kw)
         return float(jnp.sum(out))
 
-    t0 = time.perf_counter()
-    run_blocking(gen, params, prompt, lengths, total_steps=steps)
-    log(f"compile+first run: {time.perf_counter()-t0:.1f}s")
-
-    times = []
-    for _ in range(3):
+    def bench_decode(compute_dtype, name):
         t0 = time.perf_counter()
-        run_blocking(gen, params, prompt, lengths, total_steps=steps)
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    tokens_per_s = batch * steps / best
-    log(f"TPU q8_0 batched decode: batch={batch} steps={steps} best={best*1e3:.1f}ms "
-        f"-> {tokens_per_s:,.0f} tokens/s/chip; per-step {best/steps*1e6:.0f}us")
+        run_blocking(gen, params, prompt, lengths, total_steps=steps,
+                     compute_dtype=compute_dtype)
+        log(f"{name} compile+first run: {time.perf_counter()-t0:.1f}s")
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_blocking(gen, params, prompt, lengths, total_steps=steps,
+                         compute_dtype=compute_dtype)
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        tps = batch * steps / best
+        log(f"TPU q8_0 {name} decode: batch={batch} steps={steps} best={best*1e3:.1f}ms "
+            f"-> {tps:,.0f} tokens/s/chip; per-step {best/steps*1e6:.0f}us")
+        return tps
+
+    bench_decode(jnp.float32, "f32-parity")
+    tokens_per_s = bench_decode(jnp.bfloat16, "bf16")
 
     # secondary: MobileViT q8_0 images/s
     try:
@@ -136,18 +142,19 @@ def main():
 
         mv_cfg = MobileViTConfig()
         mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
-        images = jnp.asarray(np.stack([synthetic_test_image(256)] * 8))
-        feat_fn = jax.jit(extract_features)
-        t0 = time.perf_counter()
-        run_blocking(feat_fn, mv, images)
-        log(f"mobilevit compile+first: {time.perf_counter()-t0:.1f}s")
-        mv_times = []
-        for _ in range(3):
+        feat_fn = jax.jit(extract_features, static_argnames=("compute_dtype",))
+        for mb, cdt, name in ((8, jnp.bfloat16, "bf16"), (32, jnp.bfloat16, "bf16")):
+            images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
             t0 = time.perf_counter()
-            run_blocking(feat_fn, mv, images)
-            mv_times.append(time.perf_counter() - t0)
-        log(f"TPU q8_0 MobileViT: batch=8 best={min(mv_times)*1e3:.1f}ms -> "
-            f"{8/min(mv_times):,.1f} images/s/chip")
+            run_blocking(feat_fn, mv, images, compute_dtype=cdt)
+            log(f"mobilevit[{mb},{name}] compile+first: {time.perf_counter()-t0:.1f}s")
+            mv_times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_blocking(feat_fn, mv, images, compute_dtype=cdt)
+                mv_times.append(time.perf_counter() - t0)
+            log(f"TPU q8_0 MobileViT {name}: batch={mb} best={min(mv_times)*1e3:.1f}ms -> "
+                f"{mb/min(mv_times):,.1f} images/s/chip")
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
 

@@ -1,0 +1,248 @@
+"""Command-line drivers — the reference's L4 `./main` binaries, framework-native.
+
+  python -m ggml_experiments_tpu generate  --weights gru.bin [--prompt "..."]
+  python -m ggml_experiments_tpu features  --weights weight.ggml [--image img.jpg]
+  python -m ggml_experiments_tpu classify  --weights weight.ggml --image img.jpg
+  python -m ggml_experiments_tpu quantize  --input gru.bin --output gru.q8.gxt
+  python -m ggml_experiments_tpu train-gru --corpus text.txt --output gru.bin
+
+Unlike the reference (no argv parsing, hardcoded paths/sizes — SURVEY.md §5
+"Config / flag system"), everything is a flag. ``generate`` with no --prompt
+reads one line from stdin, mirroring rnn_text_generation.cpp:325-328.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--qtype", choices=["q8_0", "q4_0"], default=None,
+                   help="block-quantize matmul weights on load")
+    p.add_argument("--compute", choices=["float32", "bfloat16"], default="float32",
+                   help="MXU compute precision (float32 = full passes)")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. cpu) before first use")
+
+
+def _setup(args):
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    return jnp.float32 if args.compute == "float32" else jnp.bfloat16
+
+
+def cmd_generate(args) -> int:
+    compute_dtype = _setup(args)
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    params = load_gru_params(args.weights, qtype=args.qtype)
+    tok = CharTokenizer()
+    prompts = args.prompt
+    if not prompts:
+        print("type: ", flush=True)
+        prompts = [sys.stdin.readline().rstrip("\n")[:50]]
+    ids, lengths = tok.encode_batch(prompts)
+    t0 = time.time()
+    out = gru_textgen.generate(
+        params,
+        jnp.asarray(ids),
+        jnp.asarray(lengths),
+        args.steps,
+        temperature=args.temperature,
+        rng=jax.random.PRNGKey(args.seed),
+        compute_dtype=compute_dtype,
+    )
+    out = out.block_until_ready()
+    dt = time.time() - t0
+    for row in out:
+        print(tok.decode(int(t) for t in row))
+        print("--------")
+    print(
+        f"[{len(prompts)}x{args.steps} tokens in {dt:.2f}s = "
+        f"{len(prompts) * args.steps / dt:,.0f} tokens/s]",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def _load_image(args, size: int):
+    import numpy as np
+
+    from ggml_experiments_tpu.utils.image import load_and_preprocess, synthetic_test_image
+
+    if args.image:
+        return load_and_preprocess(args.image, size=size)
+    return synthetic_test_image(size)
+
+
+def cmd_features(args) -> int:
+    compute_dtype = _setup(args)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, extract_features, load_mobilevit,
+    )
+
+    config = MobileViTConfig()
+    params = load_mobilevit(
+        args.weights, config=config, qtype=args.qtype,
+        conv_dtype="float16" if args.f16_convs else None,
+    )
+    img = _load_image(args, config.image_size)
+    t0 = time.time()
+    feats = np.asarray(
+        extract_features(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
+    )
+    print(f"forward: {(time.time() - t0) * 1000:.1f} ms", file=sys.stderr)
+    # reference-comparable printout (print_features_d2, main.cpp:1225-1244):
+    # shape in ggml ne-order (W, H, C) and first/last 5 channels at (0, 0)
+    b, h, w, c = feats.shape
+    print(f"output feature shape: : Dims: ({w}, {h}, {c})")
+    vec = feats[0, 0, 0]
+    head = ", ".join(f"{v:g}" for v in vec[:5])
+    tail = ", ".join(f"{v:g}" for v in vec[-5:])
+    print("features of the test image: ")
+    print(f"i0 = 0, i1 = 0\n{head}, ...{tail},")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    compute_dtype = _setup(args)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, classify, load_mobilevit
+
+    config = MobileViTConfig()
+    params = load_mobilevit(args.weights, config=config, qtype=args.qtype)
+    img = _load_image(args, config.image_size)
+    logits = np.asarray(
+        classify(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
+    )[0]
+    top = np.argsort(logits)[::-1][: args.top_k]
+    for i in top:
+        print(f"class {int(i)}: logit {logits[i]:.4f}")
+    return 0
+
+
+def cmd_quantize(args) -> int:
+    _setup(args)
+    import numpy as np
+
+    from ggml_experiments_tpu.formats import checkpoint
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    qtype = args.qtype or "q8_0"
+    if args.input.endswith(".bin"):
+        tree = load_gru_params(args.input, qtype=qtype)
+    else:
+        from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, from_named_tensors
+
+        tree = from_named_tensors(read_named_tensors(args.input), MobileViTConfig(), qtype=qtype)
+    checkpoint.save(args.output, tree)
+    import os
+
+    ratio = os.path.getsize(args.input) / os.path.getsize(args.output)
+    print(json.dumps({
+        "input": args.input, "output": args.output, "qtype": qtype,
+        "compression_vs_input": round(ratio, 2),
+    }))
+    return 0
+
+
+def cmd_train_gru(args) -> int:
+    _setup(args)
+    from ggml_experiments_tpu.formats.gru_bin import save_gru_params
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.training import TrainConfig, train_from_text
+    from ggml_experiments_tpu.training.data import DataConfig, load_corpus
+
+    text = load_corpus(args.corpus)
+    params, history, tok = train_from_text(
+        text,
+        model_config=GRUConfig(embed_dim=args.embed_dim, units=args.units),
+        train_config=TrainConfig(
+            epochs=args.epochs, checkpoint_path=args.checkpoint,
+            log_every=args.log_every,
+        ),
+        data_config=DataConfig(seq_length=args.seq_length, batch_size=args.batch_size),
+        seed=args.seed,
+    )
+    if args.output:
+        save_gru_params(args.output, params)
+        print(f"exported weights to {args.output} (reference gru.bin format)")
+    print(json.dumps({"final_loss": history[-1]["loss"], "steps": history[-1]["step"]}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="ggml_experiments_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="GRU text generation (reference rnn_text_gen ./main)")
+    g.add_argument("--weights", required=True, help="gru.bin (reference format)")
+    g.add_argument("--prompt", action="append", help="prompt (repeat for a batch)")
+    g.add_argument("--steps", type=int, default=200, help="total decode steps (reference: 200)")
+    g.add_argument("--temperature", type=float, default=0.0, help="0 = greedy (reference)")
+    g.add_argument("--seed", type=int, default=0)
+    _add_common(g)
+    g.set_defaults(fn=cmd_generate)
+
+    f = sub.add_parser("features", help="MobileViT feature extraction (reference mobilevit ./main)")
+    f.add_argument("--weights", required=True, help="weight.ggml (reference format)")
+    f.add_argument("--image", default=None, help="image path (default: synthetic golden image)")
+    f.add_argument("--f16-convs", action="store_true",
+                   help="replicate the reference's f16 conv-kernel load policy")
+    _add_common(f)
+    f.set_defaults(fn=cmd_features)
+
+    c = sub.add_parser("classify", help="MobileViT classification (needs classifier weights)")
+    c.add_argument("--weights", required=True)
+    c.add_argument("--image", default=None)
+    c.add_argument("--top-k", type=int, default=5)
+    _add_common(c)
+    c.set_defaults(fn=cmd_classify)
+
+    q = sub.add_parser("quantize", help="offline fp32 -> Q8_0/Q4_0 native checkpoint")
+    q.add_argument("--input", required=True, help="gru.bin or weight.ggml")
+    q.add_argument("--output", required=True, help="output .gxt path")
+    _add_common(q)
+    q.set_defaults(fn=cmd_quantize)
+
+    t = sub.add_parser("train-gru", help="train the char GRU (reference training script)")
+    t.add_argument("--corpus", required=True, help="text file (e.g. shakespeare.txt)")
+    t.add_argument("--epochs", type=int, default=20)
+    t.add_argument("--seq-length", type=int, default=100)
+    t.add_argument("--batch-size", type=int, default=64)
+    t.add_argument("--embed-dim", type=int, default=256)
+    t.add_argument("--units", type=int, default=1024)
+    t.add_argument("--seed", type=int, default=0)
+    t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--checkpoint", default=None, help="best-by-loss .gxt path")
+    t.add_argument("--output", default=None, help="export final weights as gru.bin")
+    _add_common(t)
+    t.set_defaults(fn=cmd_train_gru)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

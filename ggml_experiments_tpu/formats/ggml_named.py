@@ -30,7 +30,26 @@ import numpy as np
 
 
 def read_named_tensors(path: str) -> Dict[str, np.ndarray]:
-    """Parse the whole file into ``{tf_variable_path: float32 ndarray}``."""
+    """Parse the whole file into ``{tf_variable_path: float32 ndarray}``.
+
+    Uses the native C++ index (runtime/libgxt.so) when available; the pure-
+    Python path below is the reference implementation and fallback.
+    """
+    try:
+        from ggml_experiments_tpu import runtime
+
+        native = runtime.read_named_tensors_native(path)
+        if native is not None:
+            return native
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    return read_named_tensors_py(path)
+
+
+def read_named_tensors_py(path: str) -> Dict[str, np.ndarray]:
+    """Pure-Python reference parser (fallback + native-parity oracle)."""
     out: Dict[str, np.ndarray] = {}
     with open(path, "rb") as f:
         while True:

@@ -55,6 +55,21 @@ def _write_tensor(f: BinaryIO, arr: np.ndarray) -> None:
 
 
 def read_tensors(path: str) -> List[np.ndarray]:
+    try:
+        from ggml_experiments_tpu import runtime
+
+        native = runtime.read_gru_bin_native(path)
+        if native is not None:
+            return native
+    except ValueError:
+        raise
+    except Exception:
+        pass
+    return read_tensors_py(path)
+
+
+def read_tensors_py(path: str) -> List[np.ndarray]:
+    """Pure-Python reference parser (fallback + native-parity oracle)."""
     out = []
     with open(path, "rb") as f:
         while True:

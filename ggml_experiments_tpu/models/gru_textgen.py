@@ -73,17 +73,25 @@ def init_state(params: GRUTextGenParams, batch: int) -> jax.Array:
 
 
 def step(
-    params: GRUTextGenParams, token_ids: jax.Array, h: jax.Array
+    params: GRUTextGenParams,
+    token_ids: jax.Array,
+    h: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """One decode step. token_ids: (B,) int32, h: (B, U) -> (logits (B, V), h')."""
     x = embedding_lookup(params.embeddings, token_ids)
-    h = gru_cell(params.cell, x, h)
-    logits = linear(h, params.dense_kernel, params.dense_bias)
+    h = gru_cell(params.cell, x, h, compute_dtype=compute_dtype)
+    logits = linear(h, params.dense_kernel, params.dense_bias, compute_dtype=compute_dtype)
     return logits, h
 
 
 def forward_sequence(
-    params: GRUTextGenParams, token_ids: jax.Array, h0: Optional[jax.Array] = None
+    params: GRUTextGenParams,
+    token_ids: jax.Array,
+    h0: Optional[jax.Array] = None,
+    *,
+    compute_dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """Teacher-forced full-sequence forward (training path).
 
@@ -93,7 +101,7 @@ def forward_sequence(
     h = init_state(params, b) if h0 is None else h0
 
     def scan_step(h, tok_t):
-        logits_t, h = step(params, tok_t, h)
+        logits_t, h = step(params, tok_t, h, compute_dtype=compute_dtype)
         return h, logits_t
 
     h_last, logits = jax.lax.scan(scan_step, h, token_ids.swapaxes(0, 1))
@@ -108,6 +116,7 @@ def generate(
     *,
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """Batched generation replicating the reference decode semantics exactly.
 
@@ -132,7 +141,7 @@ def generate(
         h, prev_pred, key = carry
         j, prompt_t = inp
         tok = jnp.where(j < prompt_lengths, prompt_t, prev_pred)
-        logits, h = step(params, tok, h)
+        logits, h = step(params, tok, h, compute_dtype=compute_dtype)
         if temperature > 0.0:
             key, sub = jax.random.split(key)
             pred = jax.random.categorical(sub, logits / temperature, axis=-1)

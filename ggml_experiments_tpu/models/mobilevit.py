@@ -66,8 +66,9 @@ class InvertedResidualParams:
     reduce_1x1: ConvBNAct
     use_residual: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        y = self.reduce_1x1(self.conv_3x3(self.expand_1x1(x)))
+    def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+        cd = dict(compute_dtype=compute_dtype)
+        y = self.reduce_1x1(self.conv_3x3(self.expand_1x1(x, **cd), **cd), **cd)
         return x + y if self.use_residual else y
 
 
@@ -87,12 +88,13 @@ class TransformerLayerParams:
     output_bias: jax.Array
     eps: float = dataclasses.field(default=1e-5, metadata=dict(static=True))
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+        cd = dict(compute_dtype=compute_dtype)
         attn_in = layer_norm(x, self.ln_before_gamma, self.ln_before_beta, eps=self.eps)
-        x = x + multi_head_attention(self.attention, attn_in)
+        x = x + multi_head_attention(self.attention, attn_in, **cd)
         y = layer_norm(x, self.ln_after_gamma, self.ln_after_beta, eps=self.eps)
-        y = jax.nn.silu(linear(y, self.intermediate_kernel, self.intermediate_bias))
-        y = linear(y, self.output_kernel, self.output_bias)
+        y = jax.nn.silu(linear(y, self.intermediate_kernel, self.intermediate_bias, **cd))
+        y = linear(y, self.output_kernel, self.output_bias, **cd)
         return x + y
 
 
@@ -113,18 +115,19 @@ class MobileViTBlockParams:
     patch_size: int = dataclasses.field(default=2, metadata=dict(static=True))
     eps: float = dataclasses.field(default=1e-5, metadata=dict(static=True))
 
-    def __call__(self, x: jax.Array) -> jax.Array:
-        x = self.downsampling(x)
+    def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+        cd = dict(compute_dtype=compute_dtype)
+        x = self.downsampling(x, **cd)
         residual = x
-        f = self.conv_1x1(self.conv_kxk(x))
+        f = self.conv_1x1(self.conv_kxk(x, **cd), **cd)
         h, w = f.shape[1], f.shape[2]
         t = unfold(f, self.patch_size)               # (B, P, N, hidden)
         for layer in self.transformer:
-            t = layer(t)
+            t = layer(t, **cd)
         t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
         f = fold(t, self.patch_size, h, w)
-        f = self.conv_projection(f)
-        return self.fusion(jnp.concatenate([residual, f], axis=-1))
+        f = self.conv_projection(f, **cd)
+        return self.fusion(jnp.concatenate([residual, f], axis=-1), **cd)
 
 
 @jax.tree_util.register_dataclass
@@ -141,29 +144,37 @@ class MobileViTParams:
     classifier_bias: Optional[jax.Array] = None
 
 
-def extract_features(params: MobileViTParams, images: jax.Array) -> jax.Array:
+def extract_features(
+    params: MobileViTParams, images: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
     """images: (B, H, W, 3) NHWC float32 -> features (B, H/32, W/32, 640).
 
-    The whole of main.cpp:604-646 as one traceable function.
+    The whole of main.cpp:604-646 as one traceable function. ``compute_dtype=
+    jnp.bfloat16`` runs the transformer matmuls single-pass on the MXU (convs
+    already use the MXU's native mixed path).
     """
-    x = params.conv_stem(images)
+    cd = dict(compute_dtype=compute_dtype)
+    x = params.conv_stem(images, **cd)
     for blk in params.layer_1:
-        x = blk(x)
+        x = blk(x, **cd)
     for blk in params.layer_2:
-        x = blk(x)
-    x = params.layer_3(x)
-    x = params.layer_4(x)
-    x = params.layer_5(x)
-    return params.conv_1x1_exp(x)
+        x = blk(x, **cd)
+    x = params.layer_3(x, **cd)
+    x = params.layer_4(x, **cd)
+    x = params.layer_5(x, **cd)
+    return params.conv_1x1_exp(x, **cd)
 
 
-def classify(params: MobileViTParams, images: jax.Array) -> jax.Array:
+def classify(
+    params: MobileViTParams, images: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
     """Logits head: global average pool + dense (HF MobileViTForImageClassification)."""
     if params.classifier_kernel is None:
         raise ValueError("params have no classifier head")
-    feats = extract_features(params, images)
+    feats = extract_features(params, images, compute_dtype=compute_dtype)
     pooled = jnp.mean(feats, axis=(1, 2))
-    return linear(pooled, params.classifier_kernel, params.classifier_bias)
+    return linear(pooled, params.classifier_kernel, params.classifier_bias,
+                  compute_dtype=compute_dtype)
 
 
 # ---------------------------------------------------------------------------

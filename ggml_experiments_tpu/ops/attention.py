@@ -45,14 +45,25 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.reshape(*lead, l, h * dh)
 
 
-def multi_head_attention(p: AttentionParams, x: jax.Array) -> jax.Array:
+def multi_head_attention(
+    p: AttentionParams, x: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
     """x: (..., L, C) -> (..., L, C). Full (dense) self-attention, no mask."""
     num_heads = p.num_heads
-    q = _split_heads(linear(x, p.wq, p.bq), num_heads)  # (..., H, L, dh)
-    k = _split_heads(linear(x, p.wk, p.bk), num_heads)
-    v = _split_heads(linear(x, p.wv, p.bv), num_heads)
+    cd = dict(compute_dtype=compute_dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    q = _split_heads(linear(x, p.wq, p.bq, **cd), num_heads)  # (..., H, L, dh)
+    k = _split_heads(linear(x, p.wk, p.bk, **cd), num_heads)
+    v = _split_heads(linear(x, p.wv, p.bv, **cd), num_heads)
     dh = q.shape[-1]
-    scores = jnp.einsum("...qd,...kd->...qk", q, k) / math.sqrt(dh)
+    scores = (
+        jnp.einsum("...qd,...kd->...qk", q, k, precision=precision,
+                   preferred_element_type=jnp.float32)
+        / math.sqrt(dh)
+    )
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("...qk,...kd->...qd", probs, v)
-    return linear(_merge_heads(ctx), p.wo, p.bo)
+    ctx = jnp.einsum("...qk,...kd->...qd", probs, v, precision=precision,
+                     preferred_element_type=jnp.float32)
+    return linear(_merge_heads(ctx), p.wo, p.bo, **cd)

@@ -34,27 +34,42 @@ def conv2d(
     dilation: int = 1,
     groups: int = 1,
     padding: Optional[int] = None,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
-    """x: (B, H, W, Cin), kernel: (KH, KW, Cin//groups, Cout) -> (B, H', W', Cout)."""
+    """x: (B, H, W, Cin), kernel: (KH, KW, Cin//groups, Cout) -> (B, H', W', Cout).
+
+    ``compute_dtype=float32`` forces full-precision MXU passes (on TPU the
+    default conv silently runs one bf16 pass); ``bfloat16`` is the explicit
+    fast path. Accumulation is always f32.
+    """
     kh, kw = kernel.shape[0], kernel.shape[1]
     if padding is None:
         padding = (kh - 1) // 2 * dilation
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
     return jax.lax.conv_general_dilated(
-        x,
-        kernel,
+        x.astype(compute_dtype),
+        kernel.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DN,
         feature_group_count=groups,
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 
-def depthwise_conv2d(x, kernel, *, stride: int = 1, dilation: int = 1, padding=None):
+def depthwise_conv2d(
+    x, kernel, *, stride: int = 1, dilation: int = 1, padding=None, compute_dtype=jnp.float32
+):
     """kernel: (KH, KW, 1, C) — grouped conv with groups == C."""
     c = x.shape[-1]
-    return conv2d(x, kernel, stride=stride, dilation=dilation, groups=c, padding=padding)
+    return conv2d(
+        x, kernel, stride=stride, dilation=dilation, groups=c, padding=padding,
+        compute_dtype=compute_dtype,
+    )
 
 
 @jax.tree_util.register_dataclass
@@ -74,11 +89,17 @@ class ConvBNAct:
     depthwise: bool = dataclasses.field(default=False, metadata=dict(static=True))
     dilation: int = dataclasses.field(default=1, metadata=dict(static=True))
 
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
         if self.depthwise:
-            y = depthwise_conv2d(x, self.kernel, stride=self.stride, dilation=self.dilation)
+            y = depthwise_conv2d(
+                x, self.kernel, stride=self.stride, dilation=self.dilation,
+                compute_dtype=compute_dtype,
+            )
         else:
-            y = conv2d(x, self.kernel, stride=self.stride, dilation=self.dilation)
+            y = conv2d(
+                x, self.kernel, stride=self.stride, dilation=self.dilation,
+                compute_dtype=compute_dtype,
+            )
         if self.bn is not None:
             y = y * self.bn.scale + self.bn.bias
         return get_activation(self.activation)(y)

@@ -43,13 +43,20 @@ class GRUCellParams:
         return n // 3
 
 
-def gru_cell(p: GRUCellParams, x: jax.Array, h: jax.Array) -> jax.Array:
-    """One step. x: (B, E), h: (B, U) -> new h (B, U)."""
+def gru_cell(
+    p: GRUCellParams, x: jax.Array, h: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
+    """One step. x: (B, E), h: (B, U) -> new h (B, U).
+
+    ``compute_dtype=jnp.bfloat16`` runs the two gate matmuls single-pass on
+    the MXU (the fast serving config); float32 uses full-precision passes
+    (parity with the fp32 reference model). Gate math stays f32 either way.
+    """
     u = h.shape[-1]
     b_in = p.bias[0] if p.bias is not None else None
     b_rec = p.bias[1] if p.bias is not None else None
-    mx = linear(x, p.kernel, b_in)             # (B, 3U)
-    mh = linear(h, p.recurrent_kernel, b_rec)  # (B, 3U)
+    mx = linear(x, p.kernel, b_in, compute_dtype=compute_dtype)             # (B, 3U)
+    mh = linear(h, p.recurrent_kernel, b_rec, compute_dtype=compute_dtype)  # (B, 3U)
     xz, xr, xh = mx[..., :u], mx[..., u : 2 * u], mx[..., 2 * u :]
     rz, rr, rh = mh[..., :u], mh[..., u : 2 * u], mh[..., 2 * u :]
     z = jax.nn.sigmoid(xz + rz)
@@ -58,13 +65,13 @@ def gru_cell(p: GRUCellParams, x: jax.Array, h: jax.Array) -> jax.Array:
     return z * h + (1.0 - z) * hh
 
 
-def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array):
+def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array, *, compute_dtype=jnp.float32):
     """Run over a full sequence with ``lax.scan``.
 
     xs: (B, T, E), h0: (B, U) -> (outputs (B, T, U), final state (B, U)).
     """
     def step(h, x_t):
-        h = gru_cell(p, x_t, h)
+        h = gru_cell(p, x_t, h, compute_dtype=compute_dtype)
         return h, h
 
     h_last, ys = jax.lax.scan(step, h0, xs.swapaxes(0, 1))

@@ -20,13 +20,22 @@ Weight = Union[jax.Array, QTensor]
 
 
 def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
-    """``x (..., K) @ w (K, N) -> (..., N)``; QTensor weights use the Pallas kernel."""
+    """``x (..., K) @ w (K, N) -> (..., N)``; QTensor weights use the Pallas kernel.
+
+    ``compute_dtype=float32`` means *actual* f32 accuracy (HIGHEST precision —
+    on TPU the MXU otherwise silently drops f32 operands to one bf16 pass);
+    ``bfloat16`` is the explicit single-pass fast path.
+    """
     if isinstance(w, QTensor):
         return qmatmul(x, w, compute_dtype=compute_dtype)
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
     return jnp.dot(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

@@ -39,6 +39,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _native_quantize(w: np.ndarray, qtype: str):
+    """Try the C++ codec (runtime/); returns (codes, scales) unpadded-N or None."""
+    try:
+        from ggml_experiments_tpu import runtime
+    except Exception:  # pragma: no cover
+        return None
+    if qtype == "q8_0":
+        return runtime.quantize_q8_0(w)
+    if qtype == "q4_0":
+        return runtime.quantize_q4_0(w)
+    return None
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
@@ -129,6 +142,21 @@ def quantize(w, qtype: str = "q8_0") -> QTensor:
     if w.ndim != 2:
         raise ValueError(f"QTensor quantizes 2-D weights, got shape {w.shape}")
     k, n = w.shape
+
+    # native fast path (runtime/libgxt.so, the ggml-quants.c replacement);
+    # numpy below is the bit-identical reference implementation
+    native = _native_quantize(w, qtype)
+    if native is not None:
+        codes, d = native
+        np_ = _round_up(n, LANE)
+        if np_ != n:  # lane-pad columns (scale 0 / q==0 ⇒ zero contribution)
+            d = np.pad(d, ((0, 0), (0, np_ - n)))
+            pad_val = 0 if qtype == "q8_0" else 0x88
+            codes = np.pad(codes, ((0, 0), (0, np_ - n)), constant_values=pad_val)
+        return QTensor(
+            codes=jnp.asarray(codes), scales=jnp.asarray(d), shape=(k, n), qtype=qtype
+        )
+
     w_blocks, kp, np_ = _blockify(w)
     if qtype == "q8_0":
         q, d = _quantize_q8_0_arrays(w_blocks)

@@ -1,0 +1,234 @@
+// gxt_native — native runtime components for ggml_experiments_tpu.
+//
+// TPU-native framework analog of the reference's native layer: where the
+// reference links ggml.c + ggml-quants.c and hand-rolls C++ weight loaders
+// (/root/reference/mobilevit/Makefile:13-17, main.cpp:872-942,
+//  rnn_text_gen/rnn_text_generation.cpp:97-164), this library provides the
+// host-side native path for the same jobs:
+//
+//   * Q8_0 / Q4_0 block quantize/dequantize (the ggml-quants.c surface the
+//     build replaces) — semantics identical to quant/qtensor.py's numpy
+//     reference, laid out for the TPU kernels (codes (K, N) column layout,
+//     block-local nibble packing for Q4_0).
+//   * streaming parsers/writers for the reference's two binary weight
+//     formats (positional gru.bin and named weight.ggml).
+//
+// Exposed via a flat C ABI consumed with ctypes (runtime/__init__.py) — no
+// pybind11 dependency. The TPU compute path stays JAX/XLA/Pallas; this is
+// the load/convert-time engine room, threaded with OpenMP when available.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+
+#define GXT_OK 0
+#define GXT_ERR_IO 1
+#define GXT_ERR_FORMAT 2
+#define GXT_ERR_ARG 3
+
+// ---------------------------------------------------------------------------
+// Block quantization (ggml-quants.c replacement; BLOCK = 32 along K)
+// ---------------------------------------------------------------------------
+
+// Quantize w[K, N] (row-major f32) into codes[Kp, N] int8 + scales[Kp/32, N]
+// f32, where Kp = ceil(K/32)*32 and rows K..Kp are zero blocks. The caller
+// allocates codes/scales at the padded size. Column-major semantics match
+// quant/qtensor.py: block b of column n covers rows [32b, 32b+32).
+int q8_0_quantize(const float* w, int64_t k, int64_t n,
+                  int8_t* codes, float* scales) {
+    if (!w || !codes || !scales || k <= 0 || n <= 0) return GXT_ERR_ARG;
+    const int64_t kp = (k + 31) / 32 * 32;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t k0 = b * 32;
+            float amax = 0.0f;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                const float a = fabsf(v);
+                if (a > amax) amax = a;
+            }
+            const float d = amax / 127.0f;
+            const float inv = d > 0.0f ? 1.0f / d : 0.0f;
+            scales[b * n + j] = d;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                float q = rintf(v * inv);
+                if (q > 127.0f) q = 127.0f;
+                if (q < -127.0f) q = -127.0f;
+                codes[i * n + j] = (int8_t)q;
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+// Q4_0 with ggml's signed-max trick (d = m/-8, m = value of largest |w|) and
+// the TPU kernel's block-local nibble packing: packed byte i of block b holds
+// unpacked rows (32b+i, 32b+16+i) as (low, high) nibbles.
+// codes is uint8[Kp/2, N]; scales f32[Kp/32, N].
+int q4_0_quantize(const float* w, int64_t k, int64_t n,
+                  uint8_t* codes, float* scales) {
+    if (!w || !codes || !scales || k <= 0 || n <= 0) return GXT_ERR_ARG;
+    const int64_t kp = (k + 31) / 32 * 32;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t k0 = b * 32;
+            float m = 0.0f, amax = 0.0f;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                const float a = fabsf(v);
+                if (a > amax) { amax = a; m = v; }
+            }
+            const float d = m / -8.0f;
+            const float inv = d != 0.0f ? 1.0f / d : 0.0f;
+            scales[b * n + j] = d;
+            uint8_t q[32];
+            for (int64_t i = 0; i < 32; i++) {
+                const int64_t src = k0 + i;
+                const float v = src < k ? w[src * n + j] : 0.0f;
+                float qq = rintf(v * inv) + 8.0f;
+                if (qq > 15.0f) qq = 15.0f;
+                if (qq < 0.0f) qq = 0.0f;
+                q[i] = (uint8_t)qq;
+            }
+            for (int64_t i = 0; i < 16; i++) {
+                codes[(b * 16 + i) * n + j] = (uint8_t)(q[i] | (q[i + 16] << 4));
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+int q8_0_dequantize(const int8_t* codes, const float* scales,
+                    int64_t kp, int64_t n, float* out) {
+    if (!codes || !scales || !out || kp <= 0 || n <= 0 || kp % 32) return GXT_ERR_ARG;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < kp; i++) {
+        const float* srow = scales + (i / 32) * n;
+        const int8_t* crow = codes + i * n;
+        float* orow = out + i * n;
+        for (int64_t j = 0; j < n; j++) orow[j] = (float)crow[j] * srow[j];
+    }
+    return GXT_OK;
+}
+
+int q4_0_dequantize(const uint8_t* codes, const float* scales,
+                    int64_t kp, int64_t n, float* out) {
+    if (!codes || !scales || !out || kp <= 0 || n <= 0 || kp % 32) return GXT_ERR_ARG;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const float* srow = scales + b * n;
+        for (int64_t i = 0; i < 16; i++) {
+            const uint8_t* crow = codes + (b * 16 + i) * n;
+            float* lo = out + (b * 32 + i) * n;
+            float* hi = out + (b * 32 + 16 + i) * n;
+            for (int64_t j = 0; j < n; j++) {
+                lo[j] = (float)((int)(crow[j] & 0xF) - 8) * srow[j];
+                hi[j] = (float)((int)(crow[j] >> 4) - 8) * srow[j];
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+// ---------------------------------------------------------------------------
+// Reference binary formats (streaming index — data is then bulk-read by the
+// caller straight into numpy buffers; no per-element marshalling)
+// ---------------------------------------------------------------------------
+
+// Scan a named weight.ggml file (convert-tf-to-ggml.py format). For each
+// record, appends into caller-provided arrays (cap entries):
+//   name_buf     : concatenated names, NUL-separated (cap_names bytes)
+//   n_dims[i], dims[i*4..], data_offset[i] (byte offset of f32 payload)
+// Returns number of tensors, or -errcode.
+int64_t ggml_named_index(const char* path,
+                         char* name_buf, int64_t cap_names,
+                         int32_t* n_dims, int32_t* dims, int64_t* data_offset,
+                         int64_t cap_entries) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -GXT_ERR_IO;
+    int64_t count = 0, name_used = 0;
+    for (;;) {
+        int32_t name_len;
+        size_t r = fread(&name_len, sizeof(int32_t), 1, f);
+        if (r != 1) break;  // clean EOF
+        if (name_len <= 0 || name_len >= 4096 || count >= cap_entries ||
+            name_used + name_len + 1 > cap_names) { fclose(f); return -GXT_ERR_FORMAT; }
+        if (fread(name_buf + name_used, 1, (size_t)name_len, f) != (size_t)name_len) {
+            fclose(f); return -GXT_ERR_FORMAT;
+        }
+        name_used += name_len;
+        name_buf[name_used++] = '\0';
+        int32_t nd;
+        if (fread(&nd, sizeof(int32_t), 1, f) != 1 || nd <= 0 || nd > 4) {
+            fclose(f); return -GXT_ERR_FORMAT;
+        }
+        n_dims[count] = nd;
+        int64_t numel = 1;
+        for (int i = 0; i < 4; i++) dims[count * 4 + i] = 1;
+        for (int i = 0; i < nd; i++) {
+            int32_t d;
+            if (fread(&d, sizeof(int32_t), 1, f) != 1 || d <= 0) {
+                fclose(f); return -GXT_ERR_FORMAT;
+            }
+            dims[count * 4 + i] = d;
+            numel *= d;
+        }
+        data_offset[count] = (int64_t)ftello(f);
+        if (fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
+            fclose(f); return -GXT_ERR_FORMAT;
+        }
+        count++;
+    }
+    fclose(f);
+    return count;
+}
+
+// Scan a positional gru.bin file (rnn_text_generation.py:104-115 format):
+// per tensor int32 n_dims, reversed dims, f32 payload. Same output contract
+// as ggml_named_index minus names.
+int64_t gru_bin_index(const char* path,
+                      int32_t* n_dims, int32_t* dims, int64_t* data_offset,
+                      int64_t cap_entries) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -GXT_ERR_IO;
+    int64_t count = 0;
+    for (;;) {
+        int32_t nd;
+        size_t r = fread(&nd, sizeof(int32_t), 1, f);
+        if (r != 1) break;
+        if (nd <= 0 || nd > 4 || count >= cap_entries) { fclose(f); return -GXT_ERR_FORMAT; }
+        n_dims[count] = nd;
+        int64_t numel = 1;
+        for (int i = 0; i < 4; i++) dims[count * 4 + i] = 1;
+        for (int i = 0; i < nd; i++) {
+            int32_t d;
+            if (fread(&d, sizeof(int32_t), 1, f) != 1 || d <= 0) {
+                fclose(f); return -GXT_ERR_FORMAT;
+            }
+            // file stores dims reversed; emit numpy (row-major) order
+            dims[count * 4 + (nd - 1 - i)] = d;
+            numel *= d;
+        }
+        data_offset[count] = (int64_t)ftello(f);
+        if (fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
+            fclose(f); return -GXT_ERR_FORMAT;
+        }
+        count++;
+    }
+    fclose(f);
+    return count;
+}
+
+int gxt_abi_version(void) { return 1; }
+
+}  // extern "C"

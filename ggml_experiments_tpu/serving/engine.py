@@ -57,7 +57,7 @@ def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotS
     )
 
 
-def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int):
+def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, compute_dtype=jnp.float32):
     """Advance every slot ``inner_steps`` tokens. Returns (state, toks, valid)
     with toks/valid shaped (B, inner_steps); valid marks tokens belonging to a
     live request (idle slots churn but their output is masked)."""
@@ -69,7 +69,7 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int):
             state.prompt, jnp.minimum(state.pos, state.prompt.shape[1] - 1)[:, None], axis=1
         )[:, 0]
         tok = jnp.where(in_prompt, pcur, state.prev)
-        logits, h_new = gru_textgen.step(params, tok, state.h)
+        logits, h_new = gru_textgen.step(params, tok, state.h, compute_dtype=compute_dtype)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new = SlotState(
             h=jnp.where(active[:, None], h_new, state.h),
@@ -139,14 +139,19 @@ class DecodeEngine:
         n_slots: int = 8,
         max_prompt: int = 64,
         inner_steps: int = 16,
+        compute_dtype=jnp.float32,
     ):
         self.params = params
         self.n_slots = n_slots
         self.max_prompt = max_prompt
         self.inner_steps = inner_steps
         self.state = init_state(params, n_slots, max_prompt)
+        import functools
+
         self._scan = jax.jit(
-            _slot_scan, static_argnames=("inner_steps",), donate_argnames=("state",)
+            functools.partial(_slot_scan, compute_dtype=compute_dtype),
+            static_argnames=("inner_steps",),
+            donate_argnames=("state",),
         )
         self._reset = jax.jit(_reset_slots, donate_argnames=("state",))
         self._queue: "queue.Queue[Request]" = queue.Queue()

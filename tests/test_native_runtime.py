@@ -1,0 +1,72 @@
+"""Native (C++) runtime vs numpy reference: quant codecs + format parsers."""
+
+import numpy as np
+import pytest
+
+from ggml_experiments_tpu import quant, runtime
+from ggml_experiments_tpu.formats.ggml_named import read_named_tensors_py
+from ggml_experiments_tpu.formats.gru_bin import read_tensors_py
+
+import os
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+pytestmark = pytest.mark.skipif(
+    not runtime.build_native(), reason="native toolchain unavailable"
+)
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (100, 30), (1024, 66)])
+def test_native_q8_matches_numpy(rng, shape):
+    w = rng.standard_normal(shape).astype(np.float32)
+    codes_n, scales_n = runtime.quantize_q8_0(w)
+    qt = quant.quantize(w, "q8_0")
+    k, n = shape
+    np.testing.assert_array_equal(codes_n, np.asarray(qt.codes)[:, :n])
+    np.testing.assert_allclose(scales_n, np.asarray(qt.scales)[:, :n], rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (100, 30), (256, 144)])
+def test_native_q4_matches_numpy(rng, shape):
+    w = rng.standard_normal(shape).astype(np.float32)
+    codes_n, scales_n = runtime.quantize_q4_0(w)
+    qt = quant.quantize(w, "q4_0")
+    k, n = shape
+    np.testing.assert_array_equal(codes_n, np.asarray(qt.codes)[:, :n])
+    np.testing.assert_allclose(scales_n, np.asarray(qt.scales)[:, :n], rtol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+def test_native_dequant_roundtrip(rng, qtype):
+    w = rng.standard_normal((96, 128)).astype(np.float32)
+    codes, scales = (
+        runtime.quantize_q8_0(w) if qtype == "q8_0" else runtime.quantize_q4_0(w)
+    )
+    wd = runtime.dequantize(codes, scales, qtype)
+    want = np.asarray(quant.dequantize(quant.quantize(w, qtype)))
+    np.testing.assert_allclose(wd[:96], want, rtol=1e-6, atol=1e-7)
+
+
+def test_native_named_parser_matches_python():
+    path = os.path.join(GOLD, "mobilevit_tiny.ggml")
+    ours = runtime.read_named_tensors_native(path)
+    ref = read_named_tensors_py(path)
+    assert ours.keys() == ref.keys()
+    for k in ref:
+        np.testing.assert_array_equal(ours[k], ref[k])
+
+
+def test_native_gru_parser_matches_python():
+    path = os.path.join(GOLD, "gru_small.bin")
+    ours = runtime.read_gru_bin_native(path)
+    ref = read_tensors_py(path)
+    assert len(ours) == len(ref) == 6
+    for a, b in zip(ours, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_native_parser_rejects_garbage(tmp_path):
+    bad = tmp_path / "bad.ggml"
+    bad.write_bytes(b"\xff\xff\xff\xff0123456789")
+    with pytest.raises(ValueError, match="native parse error"):
+        runtime.read_named_tensors_native(str(bad))
