@@ -22,7 +22,14 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ggml_experiments_tpu.ops.gru import GRUCellParams, gru_cell
+from ggml_experiments_tpu.ops.gru import (
+    GRUCellParams,
+    gru_cell,
+    gru_combine,
+    gru_sequence,
+    input_projection,
+    recurrent_projection,
+)
 from ggml_experiments_tpu.ops.linear import Weight, embedding_lookup, linear
 
 
@@ -96,16 +103,17 @@ def forward_sequence(
     """Teacher-forced full-sequence forward (training path).
 
     token_ids: (B, T) int32 -> (logits (B, T, V), final state (B, U)).
+
+    Only the recurrent projection runs inside the scan; the input projection
+    and the vocab head are whole-sequence matmuls (large, MXU-friendly).
     """
     b = token_ids.shape[0]
     h = init_state(params, b) if h0 is None else h0
-
-    def scan_step(h, tok_t):
-        logits_t, h = step(params, tok_t, h, compute_dtype=compute_dtype)
-        return h, logits_t
-
-    h_last, logits = jax.lax.scan(scan_step, h, token_ids.swapaxes(0, 1))
-    return logits.swapaxes(0, 1), h_last
+    xs = embedding_lookup(params.embeddings, token_ids)        # (B, T, E)
+    ys, h_last = gru_sequence(params.cell, xs, h, compute_dtype=compute_dtype)
+    logits = linear(ys, params.dense_kernel, params.dense_bias,
+                    compute_dtype=compute_dtype)               # (B, T, V)
+    return logits, h_last
 
 
 def generate(
@@ -137,11 +145,23 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
+    # The input projection over the whole vocab is a (V, E)·(E, 3U) matmul
+    # computed once before the scan (XLA hoists it as loop-invariant): per
+    # decode step the x-projection is then a 66-row table gather, removing
+    # one of the two per-step matmuls entirely.
+    proj = input_projection(
+        params.cell, params.embeddings, compute_dtype=compute_dtype
+    )  # (V, 3U)
+
     def scan_step(carry, inp):
         h, prev_pred, key = carry
         j, prompt_t = inp
         tok = jnp.where(j < prompt_lengths, prompt_t, prev_pred)
-        logits, h = step(params, tok, h, compute_dtype=compute_dtype)
+        mx = jnp.take(proj, tok, axis=0)
+        mh = recurrent_projection(params.cell, h, compute_dtype=compute_dtype)
+        h = gru_combine(mx, mh, h)
+        logits = linear(h, params.dense_kernel, params.dense_bias,
+                        compute_dtype=compute_dtype)
         if temperature > 0.0:
             key, sub = jax.random.split(key)
             pred = jax.random.categorical(sub, logits / temperature, axis=-1)

@@ -3,7 +3,15 @@
 from ggml_experiments_tpu.ops.activations import get_activation, sigmoid, silu, tanh
 from ggml_experiments_tpu.ops.attention import AttentionParams, multi_head_attention
 from ggml_experiments_tpu.ops.conv import ConvBNAct, conv2d, depthwise_conv2d
-from ggml_experiments_tpu.ops.gru import GRUCellParams, gru_cell, gru_sequence
+from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
+from ggml_experiments_tpu.ops.gru import (
+    GRUCellParams,
+    gru_cell,
+    gru_combine,
+    gru_sequence,
+    input_projection,
+    recurrent_projection,
+)
 from ggml_experiments_tpu.ops.linear import embedding_lookup, linear, matmul
 from ggml_experiments_tpu.ops.norm import FoldedBN, apply_folded_bn, fold_batchnorm, layer_norm
 from ggml_experiments_tpu.ops.patches import fold, unfold
@@ -19,8 +27,12 @@ __all__ = [
     "conv2d",
     "depthwise_conv2d",
     "GRUCellParams",
+    "fused_gru_decode",
     "gru_cell",
+    "gru_combine",
     "gru_sequence",
+    "input_projection",
+    "recurrent_projection",
     "embedding_lookup",
     "linear",
     "matmul",

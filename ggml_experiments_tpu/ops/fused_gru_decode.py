@@ -1,0 +1,242 @@
+"""Persistent fused GRU decode: the whole greedy decode loop in ONE Pallas kernel.
+
+The performance ceiling of scan-based decode (models/gru_textgen.generate) is
+per-step dispatch: three pallas_calls + gather/argmax glue per token put the
+chip at ~144us/step while the arithmetic needs ~15us. This kernel runs the
+*entire* token loop on-core:
+
+  * Q8_0 weights are loaded HBM->VMEM once and dequantized to bf16 in VMEM —
+    zero per-step weight traffic (the scan path re-reads ~4 MB per step);
+  * the embedding lookup is a one-hot matmul on the MXU (no gather);
+  * gate math, state update, logits and argmax all happen in-kernel;
+  * the recurrent state h lives in VMEM scratch for the whole decode.
+
+Mosaic layout rules shape the design: dynamic slices are only legal on the
+sublane dim, so the per-step token stream lives as rows of (T, B) buffers and
+all per-slot scalars are (1, B) row vectors; the vocab projection is computed
+*transposed* — ``logits (Vp, B) = d_bf^T·h`` — so the greedy argmax reduces
+over sublanes and lands directly as the next (1, B) token row, with no
+transposes anywhere in the loop.
+
+This is the TPU-native answer to the reference's per-token host loop
+(rnn_text_generation.cpp:293-313) at speed-of-light rather than mere
+correctness; the composable scan path remains for sampling/training.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor
+from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
+
+NEG = -1e30
+
+
+def _dequant_to(codes, scales, out_ref, dtype):
+    kp, n = codes.shape
+    w = codes.astype(jnp.float32)
+    w = (w.reshape(kp // BLOCK, BLOCK, n) * scales[:, None, :]).reshape(kp, n)
+    out_ref[:] = w.astype(dtype)
+
+
+def _kernel(
+    # inputs
+    emb_ref,          # (Vp, Ke) f32
+    wc_ref, ws_ref,   # (Ke, G) int8, (Ke/32, G) f32      G = 3*units
+    uc_ref, us_ref,   # (Ku, G) int8, (Ku/32, G) f32
+    bias_ref,         # (8, G) f32; rows 0/1 = input/recurrent bias
+    dc_ref, ds_ref,   # (Ku, Vp) int8, (Ku/32, Vp) f32
+    dbias_ref,        # (Vp, 128) f32; col 0 = dense bias, pad rows NEG
+    prompt_ref,       # (Tp, B) int32
+    plen_ref,         # (8, B) int32; row 0 = prompt lengths
+    # outputs
+    toks_ref,         # (Tp, B) int32
+    h_out_ref,        # (B, Ku) f32
+    # scratch
+    w_bf, u_bf, d_bf, emb_bf, h_ref, prev_ref,
+    *,
+    units: int,
+    total_steps: int,
+    compute_dtype,
+):
+    cd = compute_dtype
+    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd)
+    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd)
+    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd)
+    emb_bf[:] = emb_ref[:].astype(cd)
+    h_ref[:] = jnp.zeros_like(h_ref)
+    prev_ref[:] = jnp.zeros_like(prev_ref)
+
+    b = prompt_ref.shape[1]
+    vp = emb_ref.shape[0]
+    u = units                 # logical units; Ku >= u is the K-padded width
+    g = 3 * u
+    b0 = bias_ref[0:1, :]
+    b1 = bias_ref[1:2, :]
+    plen = plen_ref[0:1, :]                               # (1, B)
+    dbias_col = dbias_ref[:, 0:1]                         # (Vp, 1)
+    sub_v = jax.lax.broadcasted_iota(jnp.int32, (vp, b), 0)
+
+    def body(j, _):
+        pj = prompt_ref[pl.ds(j, 1), :]                   # (1, B)
+        tok = jnp.where(j < plen, pj, prev_ref[:])        # (1, B)
+        toks_ref[pl.ds(j, 1), :] = tok
+
+        onehot_vb = (sub_v == tok).astype(cd)             # (Vp, B)
+        # x (B, Ke) = onehot^T · emb     (contract the sublane Vp dim)
+        x = jax.lax.dot_general(
+            onehot_vb, emb_bf[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        mx = (
+            jnp.dot(x.astype(cd), w_bf[:], preferred_element_type=jnp.float32)[:, :g]
+            + b0
+        )
+        h_full = h_ref[:]                                 # (B, Ku); pad cols stay 0
+        mh = (
+            jnp.dot(h_full.astype(cd), u_bf[:], preferred_element_type=jnp.float32)[:, :g]
+            + b1
+        )
+        z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
+        r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
+        hh = jnp.tanh(mx[:, 2 * u :] + r * mh[:, 2 * u :])
+        h = z * h_full[:, :u] + (1.0 - z) * hh
+        if h_full.shape[1] == u:
+            h_ref[:] = h
+        else:
+            h_ref[:, :u] = h
+
+        # logits transposed: (Vp, B) = d_bf^T · h^T  — contract Ku on both
+        logits_vb = jax.lax.dot_general(
+            d_bf[:], h_ref[:].astype(cd), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + dbias_col                                      # pad rows get NEG bias
+        m = jnp.max(logits_vb, axis=0, keepdims=True)      # (1, B)
+        cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
+        prev_ref[:] = jnp.min(cand, axis=0, keepdims=True)  # first argmax, TF-style
+        return 0
+
+    jax.lax.fori_loop(0, total_steps, body, 0)
+    h_out_ref[:] = h_ref[:]
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("units", "total_steps", "compute_dtype_name")
+)
+def _fused_decode_jit(
+    emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
+    *, units: int, total_steps: int, compute_dtype_name: str,
+):
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    tp, b = prompt.shape
+    vp, ke = emb.shape
+    g = wc.shape[1]
+    ku = uc.shape[0]  # K-padded state width (>= units)
+    kernel = functools.partial(
+        _kernel, units=units, total_steps=total_steps, compute_dtype=cd
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    toks, h_out = pl.pallas_call(
+        kernel,
+        in_specs=[vmem] * 11,
+        out_specs=(vmem, vmem),
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, b), jnp.int32),
+            jax.ShapeDtypeStruct((b, ku), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ke, g), cd),       # w_bf
+            pltpu.VMEM((ku, g), cd),       # u_bf
+            pltpu.VMEM((ku, vp), cd),      # d_bf
+            pltpu.VMEM((vp, ke), cd),      # emb_bf
+            pltpu.VMEM((b, ku), jnp.float32),   # h
+            pltpu.VMEM((1, b), jnp.int32),      # prev token row
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * total_steps * b * (vp * ke + ke * g + ku * g + ku * vp),
+            bytes_accessed=wc.size + uc.size + dc.size + 4 * (tp * b * 2),
+            transcendentals=total_steps * b * 3 * units,
+        ),
+        interpret=_default_interpret(),
+    )(emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen)
+    return toks, h_out
+
+
+def fused_gru_decode(
+    params,
+    prompt_ids: jax.Array,      # (B, P) int32
+    prompt_lengths: jax.Array,  # (B,) int32
+    total_steps: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Greedy decode via the persistent kernel. Semantics identical to
+    models/gru_textgen.generate(temperature=0): returns (B, total_steps)
+    tokens (prompt prefix + generated continuation).
+
+    Requires Q8_0-quantized cell/dense kernels (the serving configuration).
+    """
+    cell = params.cell
+    if not (
+        isinstance(cell.kernel, QTensor)
+        and isinstance(cell.recurrent_kernel, QTensor)
+        and isinstance(params.dense_kernel, QTensor)
+        and cell.kernel.qtype == "q8_0"
+    ):
+        raise ValueError("fused_gru_decode requires q8_0-quantized GRU params "
+                         "(load with qtype='q8_0')")
+    v, e = params.embeddings.shape
+    u = cell.recurrent_kernel.shape[0]
+    g = 3 * u
+    b, p = prompt_ids.shape
+
+    vp = _round_up(v, 128)
+    bp = _round_up(b, 128)   # B is a lane dim for the token rows
+    tp = _round_up(total_steps, 8)
+
+    ke = _round_up(e, 32)  # K-padding of the input-projection codes
+    emb = jnp.zeros((vp, ke), jnp.float32).at[:v, :e].set(params.embeddings)
+
+    def q(qt, n_logical):
+        # kernel wants exactly (K, n) codes/scales; QTensor already lane-pads
+        return qt.codes[:, :n_logical], qt.scales[:, :n_logical]
+
+    wc, ws = q(cell.kernel, g)
+    uc, us = q(cell.recurrent_kernel, g)
+    # dense: pad N (vocab) to vp; QTensor np_ is already >= 128-padded
+    dqt = params.dense_kernel
+    dc = dqt.codes[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.codes, ((0, 0), (0, vp - dqt.np_)))
+    ds = dqt.scales[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.scales, ((0, 0), (0, vp - dqt.np_)))
+
+    bias = jnp.zeros((8, g), jnp.float32)
+    if cell.bias is not None:
+        bias = bias.at[0:2].set(cell.bias)
+    dbias_rows = jnp.full((vp,), NEG, jnp.float32).at[:v].set(
+        params.dense_bias if params.dense_bias is not None else jnp.zeros((v,))
+    )
+    dbias = jnp.zeros((vp, 128), jnp.float32).at[:, 0].set(dbias_rows)
+
+    prompt = jnp.zeros((tp, bp), jnp.int32)
+    prompt = prompt.at[: min(p, tp), :b].set(prompt_ids[:, :tp].swapaxes(0, 1))
+    plen = jnp.zeros((8, bp), jnp.int32).at[0, :b].set(prompt_lengths)
+
+    toks, _ = _fused_decode_jit(
+        emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
+        units=u,
+        total_steps=total_steps,
+        compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+    )
+    return toks[:total_steps, :b].swapaxes(0, 1)

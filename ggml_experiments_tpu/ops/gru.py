@@ -43,6 +43,35 @@ class GRUCellParams:
         return n // 3
 
 
+def gru_combine(mx: jax.Array, mh: jax.Array, h: jax.Array) -> jax.Array:
+    """Gate math given the two biased projections mx = x·W + b0, mh = h·U + b1.
+
+    Split out of the cell so callers can source ``mx`` from a precomputed
+    projection (a vocab-sized table gather during decode, or one whole-
+    sequence matmul during training) instead of a per-step matmul.
+    """
+    u = h.shape[-1]
+    z = jax.nn.sigmoid(mx[..., :u] + mh[..., :u])
+    r = jax.nn.sigmoid(mx[..., u : 2 * u] + mh[..., u : 2 * u])
+    # reset-after: r gates the *projected* recurrent term
+    hh = jnp.tanh(mx[..., 2 * u :] + r * mh[..., 2 * u :])
+    return z * h + (1.0 - z) * hh
+
+
+def recurrent_projection(
+    p: GRUCellParams, h: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
+    b_rec = p.bias[1] if p.bias is not None else None
+    return linear(h, p.recurrent_kernel, b_rec, compute_dtype=compute_dtype)
+
+
+def input_projection(
+    p: GRUCellParams, x: jax.Array, *, compute_dtype=jnp.float32
+) -> jax.Array:
+    b_in = p.bias[0] if p.bias is not None else None
+    return linear(x, p.kernel, b_in, compute_dtype=compute_dtype)
+
+
 def gru_cell(
     p: GRUCellParams, x: jax.Array, h: jax.Array, *, compute_dtype=jnp.float32
 ) -> jax.Array:
@@ -52,27 +81,25 @@ def gru_cell(
     the MXU (the fast serving config); float32 uses full-precision passes
     (parity with the fp32 reference model). Gate math stays f32 either way.
     """
-    u = h.shape[-1]
-    b_in = p.bias[0] if p.bias is not None else None
-    b_rec = p.bias[1] if p.bias is not None else None
-    mx = linear(x, p.kernel, b_in, compute_dtype=compute_dtype)             # (B, 3U)
-    mh = linear(h, p.recurrent_kernel, b_rec, compute_dtype=compute_dtype)  # (B, 3U)
-    xz, xr, xh = mx[..., :u], mx[..., u : 2 * u], mx[..., 2 * u :]
-    rz, rr, rh = mh[..., :u], mh[..., u : 2 * u], mh[..., 2 * u :]
-    z = jax.nn.sigmoid(xz + rz)
-    r = jax.nn.sigmoid(xr + rr)
-    hh = jnp.tanh(xh + r * rh)  # reset-after: r gates the *projected* recurrent term
-    return z * h + (1.0 - z) * hh
+    mx = input_projection(p, x, compute_dtype=compute_dtype)       # (B, 3U)
+    mh = recurrent_projection(p, h, compute_dtype=compute_dtype)   # (B, 3U)
+    return gru_combine(mx, mh, h)
 
 
 def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array, *, compute_dtype=jnp.float32):
     """Run over a full sequence with ``lax.scan``.
 
     xs: (B, T, E), h0: (B, U) -> (outputs (B, T, U), final state (B, U)).
+
+    The input projection for the whole sequence is one big (B*T, E)·(E, 3U)
+    matmul *outside* the scan (the cuDNN-style RNN optimization); only the
+    recurrent matmul stays sequential.
     """
-    def step(h, x_t):
-        h = gru_cell(p, x_t, h, compute_dtype=compute_dtype)
+    mxs = input_projection(p, xs, compute_dtype=compute_dtype)     # (B, T, 3U)
+
+    def step(h, mx_t):
+        h = gru_combine(mx_t, recurrent_projection(p, h, compute_dtype=compute_dtype), h)
         return h, h
 
-    h_last, ys = jax.lax.scan(step, h0, xs.swapaxes(0, 1))
+    h_last, ys = jax.lax.scan(step, h0, mxs.swapaxes(0, 1))
     return ys.swapaxes(0, 1), h_last

@@ -1,6 +1,6 @@
 """Mesh, sharding rules, and SPMD placement (DP + TP over ICI/DCN)."""
 
-from ggml_experiments_tpu.parallel import mesh, sharding
+from ggml_experiments_tpu.parallel import mesh, multihost, sharding
 from ggml_experiments_tpu.parallel.mesh import (
     AXES,
     DATA_AXIS,
@@ -17,6 +17,7 @@ from ggml_experiments_tpu.parallel.sharding import (
 
 __all__ = [
     "mesh",
+    "multihost",
     "sharding",
     "AXES",
     "DATA_AXIS",

@@ -62,6 +62,12 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, com
     with toks/valid shaped (B, inner_steps); valid marks tokens belonging to a
     live request (idle slots churn but their output is masked)."""
 
+    from ggml_experiments_tpu.ops.gru import gru_combine, input_projection, recurrent_projection
+    from ggml_experiments_tpu.ops.linear import linear
+
+    # loop-invariant: per-step x-projection becomes a vocab-table gather
+    proj = input_projection(params.cell, params.embeddings, compute_dtype=compute_dtype)
+
     def one(state: SlotState, _):
         active = state.pos < state.total
         in_prompt = state.pos < state.plen
@@ -69,7 +75,11 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, com
             state.prompt, jnp.minimum(state.pos, state.prompt.shape[1] - 1)[:, None], axis=1
         )[:, 0]
         tok = jnp.where(in_prompt, pcur, state.prev)
-        logits, h_new = gru_textgen.step(params, tok, state.h, compute_dtype=compute_dtype)
+        mx = jnp.take(proj, tok, axis=0)
+        mh = recurrent_projection(params.cell, state.h, compute_dtype=compute_dtype)
+        h_new = gru_combine(mx, mh, state.h)
+        logits = linear(h_new, params.dense_kernel, params.dense_bias,
+                        compute_dtype=compute_dtype)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new = SlotState(
             h=jnp.where(active[:, None], h_new, state.h),

@@ -1,0 +1,56 @@
+"""Persistent fused decode kernel vs the composable scan decoder (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+from ggml_experiments_tpu.models import gru_textgen
+from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
+
+import os
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="module")
+def qparams():
+    return load_gru_params(os.path.join(GOLD, "gru_small.bin"), qtype="q8_0")
+
+
+def test_fused_matches_scan_decode(qparams):
+    gold = np.load(os.path.join(GOLD, "gru_small.npz"))
+    prompt = jnp.asarray(gold["prompt"][None, :].astype(np.int32))
+    lengths = jnp.asarray(np.array([len(gold["prompt"])], np.int32))
+    want = np.asarray(gru_textgen.generate(qparams, prompt, lengths, 60))
+    got = np.asarray(
+        fused_gru_decode(qparams, prompt, lengths, 60, compute_dtype=jnp.float32)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_batched_ragged_prompts(qparams):
+    rng = np.random.default_rng(3)
+    b = 5
+    prompts = np.zeros((b, 9), np.int32)
+    lengths = np.zeros((b,), np.int32)
+    for i in range(b):
+        n = int(rng.integers(1, 10))
+        prompts[i, :n] = rng.integers(0, 66, n)
+        lengths[i] = n
+    want = np.asarray(
+        gru_textgen.generate(qparams, jnp.asarray(prompts), jnp.asarray(lengths), 40)
+    )
+    got = np.asarray(
+        fused_gru_decode(
+            qparams, jnp.asarray(prompts), jnp.asarray(lengths), 40,
+            compute_dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_requires_quantized():
+    p = load_gru_params(os.path.join(GOLD, "gru_small.bin"))  # fp32
+    with pytest.raises(ValueError, match="q8_0"):
+        fused_gru_decode(p, jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32), 8)
