@@ -99,6 +99,7 @@ def forward_sequence(
     h0: Optional[jax.Array] = None,
     *,
     compute_dtype=jnp.float32,
+    remat: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Teacher-forced full-sequence forward (training path).
 
@@ -106,11 +107,14 @@ def forward_sequence(
 
     Only the recurrent projection runs inside the scan; the input projection
     and the vocab head are whole-sequence matmuls (large, MXU-friendly).
+    ``remat`` rematerializes the cell on backward (memory-bound training).
     """
     b = token_ids.shape[0]
     h = init_state(params, b) if h0 is None else h0
     xs = embedding_lookup(params.embeddings, token_ids)        # (B, T, E)
-    ys, h_last = gru_sequence(params.cell, xs, h, compute_dtype=compute_dtype)
+    ys, h_last = gru_sequence(
+        params.cell, xs, h, compute_dtype=compute_dtype, remat=remat
+    )
     logits = linear(ys, params.dense_kernel, params.dense_bias,
                     compute_dtype=compute_dtype)               # (B, T, V)
     return logits, h_last

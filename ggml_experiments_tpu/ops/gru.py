@@ -86,14 +86,23 @@ def gru_cell(
     return gru_combine(mx, mh, h)
 
 
-def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array, *, compute_dtype=jnp.float32):
+def gru_sequence(
+    p: GRUCellParams,
+    xs: jax.Array,
+    h0: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+):
     """Run over a full sequence with ``lax.scan``.
 
     xs: (B, T, E), h0: (B, U) -> (outputs (B, T, U), final state (B, U)).
 
     The input projection for the whole sequence is one big (B*T, E)·(E, 3U)
     matmul *outside* the scan (the cuDNN-style RNN optimization); only the
-    recurrent matmul stays sequential.
+    recurrent matmul stays sequential. ``remat=True`` rematerializes the cell
+    in the backward pass (jax.checkpoint), trading recompute FLOPs for HBM —
+    for long-sequence training where per-step activations don't fit.
     """
     mxs = input_projection(p, xs, compute_dtype=compute_dtype)     # (B, T, 3U)
 
@@ -101,5 +110,7 @@ def gru_sequence(p: GRUCellParams, xs: jax.Array, h0: jax.Array, *, compute_dtyp
         h = gru_combine(mx_t, recurrent_projection(p, h, compute_dtype=compute_dtype), h)
         return h, h
 
+    if remat:
+        step = jax.checkpoint(step)
     h_last, ys = jax.lax.scan(step, h0, mxs.swapaxes(0, 1))
     return ys.swapaxes(0, 1), h_last

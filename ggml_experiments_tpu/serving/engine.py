@@ -263,3 +263,93 @@ class DecodeEngine:
         while not self._stop.is_set():
             if not self._tick():
                 time.sleep(0.001)
+
+    # -- failure recovery ----------------------------------------------------
+    # SURVEY.md §5: the reference has no failure handling; the north star asks
+    # for a serving loop that tolerates host restart via a checkpointed
+    # request queue. Snapshot = device slot state + per-slot request progress
+    # + queued requests; restore resumes mid-decode with no token loss.
+
+    def snapshot(self, path: str) -> None:
+        """Persist engine state (device slots + in-flight/queued requests)."""
+        from ggml_experiments_tpu.formats import checkpoint
+
+        pending = []
+        while True:
+            try:
+                pending.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for req in pending:  # re-queue locally; snapshot keeps a copy
+            self._queue.put(req)
+
+        inflight = {}
+        for slot, req in self._slot_req.items():
+            if req is not None:
+                inflight[str(slot)] = {
+                    "prompt": req.prompt_ids,
+                    "max_new": np.int32(req.max_new_tokens),
+                    "tokens": np.asarray(req._tokens, np.int32),
+                    "id": np.int32(req.id),
+                }
+        tree = {
+            "state": self.state,
+            "inflight": inflight,
+            "pending": {
+                str(i): {"prompt": r.prompt_ids, "max_new": np.int32(r.max_new_tokens)}
+                for i, r in enumerate(pending)
+            },
+        }
+        checkpoint.save(path, tree)
+
+    @classmethod
+    def restore(cls, path: str, params: GRUTextGenParams, **engine_kw) -> "DecodeEngine":
+        """Rebuild an engine from a snapshot; in-flight requests resume at the
+        exact token position they were interrupted at."""
+        from ggml_experiments_tpu.formats import checkpoint
+
+        flat = checkpoint.load_arrays(path)
+        # reconstruct slot count / max prompt from the stored state
+        n_slots, max_prompt = np.asarray(flat["state/prompt"]).shape
+        eng = cls(params, n_slots=n_slots, max_prompt=max_prompt, **engine_kw)
+        eng.state = SlotState(
+            h=flat["state/h"],
+            prev=flat["state/prev"],
+            pos=flat["state/pos"],
+            total=flat["state/total"],
+            plen=flat["state/plen"],
+            prompt=flat["state/prompt"],
+        )
+        by_slot: Dict[int, Request] = {}
+        pending: Dict[int, Request] = {}
+        for key, arr in flat.items():
+            parts = key.split("/")
+            if parts[0] == "inflight" and parts[2] == "prompt":
+                slot = int(parts[1])
+                req = Request(
+                    prompt_ids=np.asarray(arr, np.int32),
+                    max_new_tokens=int(flat[f"inflight/{parts[1]}/max_new"]),
+                    id=int(flat[f"inflight/{parts[1]}/id"]),
+                )
+                req._tokens = [int(t) for t in np.asarray(flat[f"inflight/{parts[1]}/tokens"])]
+                by_slot[slot] = req
+            elif parts[0] == "pending" and parts[2] == "prompt":
+                idx = int(parts[1])
+                pending[idx] = Request(
+                    prompt_ids=np.asarray(arr, np.int32),
+                    max_new_tokens=int(flat[f"pending/{parts[1]}/max_new"]),
+                    id=eng._next_id + idx,
+                )
+        for slot, req in by_slot.items():
+            eng._slot_req[slot] = req
+        for idx in sorted(pending):
+            eng._queue.put(pending[idx])
+        eng._next_id = 1 + max(
+            [r.id for r in by_slot.values()] + [r.id for r in pending.values()] + [-1]
+        )
+        # the pre-restart process's Request futures are gone; expose the
+        # reconstructed ones so the new process can await results
+        eng.restored_requests = sorted(
+            list(by_slot.values()) + list(pending.values()), key=lambda r: r.id
+        )
+        return eng

@@ -31,6 +31,7 @@ class TrainConfig:
     epochs: int = 20              # reference :92
     log_every: int = 50
     checkpoint_path: Optional[str] = None
+    remat: bool = False           # jax.checkpoint the cell (long sequences)
 
 
 def sparse_softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -38,14 +39,18 @@ def sparse_softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.A
     return optax.softmax_cross_entropy_with_integer_labels(logits, targets).mean()
 
 
-def loss_fn(params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array) -> jax.Array:
-    logits, _ = gru_textgen.forward_sequence(params, inputs)
+def loss_fn(
+    params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array, *, remat: bool = False
+) -> jax.Array:
+    logits, _ = gru_textgen.forward_sequence(params, inputs, remat=remat)
     return sparse_softmax_cross_entropy(logits, targets)
 
 
 def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
+    *,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted (params, opt_state, inputs, targets) -> ... step.
 
@@ -55,7 +60,9 @@ def make_train_step(
     """
 
     def train_step(params, opt_state, inputs, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(params, inputs, targets)
+        loss, grads = jax.value_and_grad(
+            lambda p, i, t: loss_fn(p, i, t, remat=remat)
+        )(params, inputs, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -89,7 +96,7 @@ def train(
     if mesh is not None:
         params = place(params, gru_param_specs(params), mesh)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(optimizer, mesh)
+    step_fn = make_train_step(optimizer, mesh, remat=cfg.remat)
 
     manager = None
     if cfg.checkpoint_path:

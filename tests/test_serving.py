@@ -80,3 +80,44 @@ def test_result_timeout(params):
     req = eng.submit([1], 5)  # engine never driven
     with pytest.raises(TimeoutError):
         req.result(timeout=0.05)
+
+
+def test_snapshot_restore_mid_decode(params, tmp_path):
+    """Kill-and-restore: an engine snapshotted mid-decode resumes and every
+    request still matches its offline decode (checkpointed request queue)."""
+    eng = DecodeEngine(params, n_slots=2, max_prompt=16, inner_steps=4)
+    specs = [([3, 7], 30), ([11], 25), ([2, 4, 6], 20)]  # 3 reqs, 2 slots
+    for prompt, new in specs:
+        eng.submit(prompt, new)
+    # run a few ticks, then "crash"
+    for _ in range(3):
+        eng._tick()
+    snap = str(tmp_path / "engine.gxt")
+    eng.snapshot(snap)
+    del eng
+
+    eng2 = DecodeEngine.restore(snap, params, inner_steps=4)
+    assert len(eng2.restored_requests) == 3
+    eng2.run_until_idle(timeout_s=120)
+    got = {tuple(r.prompt_ids.tolist()): r.result(timeout=1) for r in eng2.restored_requests}
+    for prompt, new in specs:
+        want = offline(params, prompt, len(prompt) + new)
+        np.testing.assert_array_equal(got[tuple(prompt)], want)
+
+
+def test_tensor_parallel_serving_matches(params):
+    """Continuous batching with TP-sharded params over the 8-device mesh
+    produces identical tokens (multi-chip serving path)."""
+    from jax.sharding import PartitionSpec as P
+    from ggml_experiments_tpu.parallel import gru_param_specs, make_mesh, place
+
+    mesh = make_mesh((2, 4))
+    placed = place(params, gru_param_specs(params), mesh)
+    eng = DecodeEngine(placed, n_slots=3, max_prompt=16, inner_steps=8)
+    reqs = [(list(range(1, 2 + i)), 15 + i) for i in range(5)]
+    handles = [eng.submit(p, n) for p, n in reqs]
+    eng.run_until_idle(timeout_s=300)
+    for (prompt, new), h in zip(reqs, handles):
+        np.testing.assert_array_equal(
+            h.result(timeout=1), offline(params, prompt, len(prompt) + new)
+        )

@@ -65,3 +65,22 @@ def test_trained_model_generates(tmp_path):
     )
     text = tok.decode(ids[0])
     assert text.startswith("the ") and len(text) == 40
+
+
+def test_remat_training_matches_loss():
+    """jax.checkpoint'd cell gives the same loss/gradients path (numerically)."""
+    import jax.numpy as jnp
+    import optax
+    from ggml_experiments_tpu.training.gru_trainer import make_train_step
+
+    params = gru_textgen.init_params(SMALL, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    rng = np.random.default_rng(0)
+    inp = jnp.asarray(rng.integers(0, 66, (4, 12)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, 66, (4, 12)).astype(np.int32))
+
+    p1 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    p2 = jax.tree_util.tree_map(lambda a: a.copy(), params)
+    _, _, loss_plain = make_train_step(opt)(p1, opt.init(p1), inp, tgt)
+    _, _, loss_remat = make_train_step(opt, remat=True)(p2, opt.init(p2), inp, tgt)
+    np.testing.assert_allclose(float(loss_plain), float(loss_remat), rtol=1e-6)
