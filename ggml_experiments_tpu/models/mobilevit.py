@@ -350,10 +350,20 @@ def from_named_tensors(
     The name wiring mirrors load_model_v2 (main.cpp:314-515). ``conv_dtype=
     'float16'`` replicates the reference's f16-conv load policy; ``qtype``
     block-quantizes every transformer dense kernel.
+
+    The root name prefix is auto-detected: TFMobileViTModel exports under
+    ``tf_mobile_vi_t_model/mobilevit/...`` (the reference's converter) while
+    TFMobileViTForImageClassification exports under
+    ``tf_mobile_vi_t_for_image_classification/mobilevit/...`` + classifier.
     """
     tm = _TensorMap(tensors)
+    prefix = _PREFIX
+    for key in tensors:
+        if "/mobilevit/conv_stem/" in key:
+            prefix = key.split("/mobilevit/")[0] + "/mobilevit"
+            break
     neck = config.neck_hidden_sizes
-    enc = f"{_PREFIX}/encoder"
+    enc = f"{prefix}/encoder"
 
     def mobile_net_layer(idx: int, in_ch: int, out_ch: int, stride: int, stages: int):
         blocks = []
@@ -368,7 +378,7 @@ def from_named_tensors(
         return tuple(blocks)
 
     params = MobileViTParams(
-        conv_stem=_conv(tm, f"{_PREFIX}/conv_stem", stride=2, conv_dtype=conv_dtype),
+        conv_stem=_conv(tm, f"{prefix}/conv_stem", stride=2, conv_dtype=conv_dtype),
         layer_1=mobile_net_layer(0, neck[0], neck[1], 1, 1),
         layer_2=mobile_net_layer(1, neck[1], neck[2], 2, 3),
         layer_3=_vit_block(
@@ -383,7 +393,7 @@ def from_named_tensors(
             tm, f"{enc}/layer.4", neck[4], neck[5], config.num_transformer_layers[2],
             config, conv_dtype, qtype,
         ),
-        conv_1x1_exp=_conv(tm, f"{_PREFIX}/conv_1x1_exp", conv_dtype=conv_dtype),
+        conv_1x1_exp=_conv(tm, f"{prefix}/conv_1x1_exp", conv_dtype=conv_dtype),
     )
     # optional classifier head (exported from MobileViTForImageClassification)
     for cand in ("classifier/kernel:0", "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):

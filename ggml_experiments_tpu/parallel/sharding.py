@@ -45,7 +45,16 @@ def spec_like(tree: Any, spec_tree: Any):
 
 
 def qtensor_sharding(mesh: Mesh, qt: QTensor, spec: P) -> QTensor:
-    """Place a QTensor's codes+scales with the same partition spec."""
+    """Place a QTensor's codes+scales with a (sanitized) partition spec.
+
+    Block quantization ties K-tiles to scale rows (one scale row per 32 K
+    rows), so the K dim of a QTensor cannot shard at arbitrary granularity —
+    a row-parallel request P('model', None) is rewritten to column-parallel
+    P(None, 'model') (the N dim is lane-padded to 128 and always divides).
+    XLA re-inserts the corresponding collective; semantics are unchanged.
+    """
+    axes = [a for a in spec if a is not None] if spec else []
+    spec = P(None, axes[0]) if axes else P()
     ns = NamedSharding(mesh, spec)
     return QTensor(
         codes=jax.device_put(qt.codes, ns),

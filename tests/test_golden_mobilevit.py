@@ -113,3 +113,29 @@ def test_synthetic_image_matches_reference_definition():
     y, x, c = 3, 7, 2
     assert img[y, x, c] == np.float32(((y * 256 * 3 + x * 3 + c) % 256) / 255.0)
     assert img.shape == (256, 256, 3)
+
+
+def test_classifier_logits_match_tf():
+    """TFMobileViTForImageClassification parity + Δtop-1 eval (BASELINE
+    configs 3/4: classifier inference fp32 / Q8_0 / Q4_0)."""
+    import jax.numpy as jnp
+    from ggml_experiments_tpu import evaluation
+
+    cfg = TINY  # same backbone; classifier head detected from weights
+    tensors = read_named_tensors(os.path.join(GOLD, "mobilevit_cls_tiny.ggml"))
+    gold = np.load(os.path.join(GOLD, "mobilevit_cls_tiny.npz"))
+    img = jnp.asarray(gold["image"])[None]
+
+    params = from_named_tensors(tensors, cfg)
+    assert params.classifier_kernel is not None
+    logits = np.asarray(classify(params, img))
+    np.testing.assert_allclose(logits, gold["logits"], rtol=1e-3, atol=2e-4)
+
+    q8 = from_named_tensors(tensors, cfg, qtype="q8_0")
+    rep = evaluation.eval_mobilevit_delta(params, q8, np.asarray(img))
+    assert rep.top1_agreement == 1.0         # Δtop-1 = 0 on this input at 8-bit
+    assert rep.rel_rmse < 0.05
+
+    q4 = from_named_tensors(tensors, cfg, qtype="q4_0")
+    rep4 = evaluation.eval_mobilevit_delta(params, q4, np.asarray(img))
+    assert rep4.rel_rmse < 1.0               # 4-bit on an untrained tiny net

@@ -127,3 +127,66 @@ def test_sharded_train_step_runs_and_matches(mesh, params):
     np.testing.assert_allclose(float(loss), float(loss0), rtol=1e-5)
     # params actually updated, still sharded
     assert new_params.cell.kernel.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_mobilevit_tp_sharded_forward_matches(mesh):
+    """MobileViT with Megatron-paired TP shardings over the 8-device mesh
+    matches single-device features (BASELINE config 5: tensor-sharded
+    MobileViT)."""
+    import os
+
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig,
+        extract_features,
+        from_named_tensors,
+    )
+    from ggml_experiments_tpu.parallel import mobilevit_param_specs
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "goldens")
+    tensors = read_named_tensors(os.path.join(gold_dir, "mobilevit_tiny.ggml"))
+    cfg = MobileViTConfig(
+        image_size=64, neck_hidden_sizes=(8, 16, 24, 32, 40, 48, 96),
+        hidden_sizes=(24, 32, 40),
+    )
+    mv = from_named_tensors(tensors, cfg)
+    img = jnp.asarray(np.load(os.path.join(gold_dir, "mobilevit_tiny.npz"))["image"])[None]
+    ref = np.asarray(extract_features(mv, img))
+
+    placed = place(mv, mobilevit_param_specs(mv), mesh)
+    qk = placed.layer_3.transformer[0].attention.wq
+    assert qk.sharding.spec == P(None, MODEL_AXIS)
+    imgs = jnp.tile(img, (8, 1, 1, 1))
+    imgs_sh = jax.device_put(imgs, NamedSharding(mesh, P(DATA_AXIS)))
+    got = np.asarray(jax.jit(extract_features)(placed, imgs_sh))
+    for i in range(8):
+        np.testing.assert_allclose(got[i], ref[0], rtol=2e-4, atol=2e-4)
+
+
+def test_mobilevit_tp_quantized_sharded(mesh):
+    """Quantized (QTensor) transformer kernels shard over the model axis and
+    still run (fused kernel under SPMD, interpret mode on CPU)."""
+    import os
+
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, extract_features, from_named_tensors,
+    )
+    from ggml_experiments_tpu.parallel import mobilevit_param_specs
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "goldens")
+    tensors = read_named_tensors(os.path.join(gold_dir, "mobilevit_tiny.ggml"))
+    cfg = MobileViTConfig(
+        image_size=64, neck_hidden_sizes=(8, 16, 24, 32, 40, 48, 96),
+        hidden_sizes=(24, 32, 40),
+    )
+    mv = from_named_tensors(tensors, cfg, qtype="q8_0")
+    ref = np.asarray(
+        extract_features(
+            mv, jnp.asarray(np.load(os.path.join(gold_dir, "mobilevit_tiny.npz"))["image"])[None]
+        )
+    )
+    placed = place(mv, mobilevit_param_specs(mv), mesh)
+    img = jnp.asarray(np.load(os.path.join(gold_dir, "mobilevit_tiny.npz"))["image"])[None]
+    got = np.asarray(jax.jit(extract_features)(placed, img))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)

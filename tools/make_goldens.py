@@ -143,8 +143,62 @@ def make_mobilevit():
     )
 
 
+def make_mobilevit_classifier():
+    """Tiny TFMobileViTForImageClassification oracle (BASELINE config 3)."""
+    from transformers import MobileViTConfig, TFMobileViTForImageClassification
+
+    import tensorflow as tf
+
+    tf.keras.utils.set_random_seed(2)
+    cfg = MobileViTConfig(
+        image_size=64,
+        neck_hidden_sizes=[8, 16, 24, 32, 40, 48, 96],
+        hidden_sizes=[24, 32, 40],
+        num_attention_heads=4,
+        expand_ratio=4.0,
+        mlp_ratio=2.0,
+        patch_size=2,
+        conv_kernel_size=3,
+        output_stride=32,
+        layer_norm_eps=1e-5,
+        qkv_bias=True,
+        hidden_act="silu",
+        num_labels=12,
+    )
+    model = TFMobileViTForImageClassification(cfg)
+
+    from ggml_experiments_tpu.utils.image import synthetic_test_image
+
+    img = synthetic_test_image(64)
+    out = model(pixel_values=img.transpose(2, 0, 1)[None], training=False)
+    logits = out.logits.numpy()
+    print("classifier logits:", logits.shape, logits[0, :4])
+
+    path = os.path.join(OUT, "mobilevit_cls_tiny.ggml")
+    with open(path, "wb") as f:
+        for w in model.weights:
+            name = w.name.encode("ascii")
+            a = w.numpy().astype(np.float32)
+            f.write(struct.pack("i", len(name)))
+            f.write(name)
+            f.write(struct.pack("i", a.ndim))
+            for d in a.shape:
+                f.write(struct.pack("i", d))
+            a.tofile(f)
+    print("wrote", path, "first names:", [w.name for w in model.weights[:1]],
+          "classifier:", [w.name for w in model.weights if "classifier" in w.name])
+    np.savez(os.path.join(OUT, "mobilevit_cls_tiny.npz"), image=img, logits=logits)
+
+
 if __name__ == "__main__":
+    import sys
+
     os.makedirs(OUT, exist_ok=True)
-    make_gru()
-    make_mobilevit()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "gru"):
+        make_gru()
+    if which in ("all", "mobilevit"):
+        make_mobilevit()
+    if which in ("all", "classifier"):
+        make_mobilevit_classifier()
     print("done")
