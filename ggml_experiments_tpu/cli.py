@@ -43,11 +43,11 @@ def cmd_generate(args) -> int:
     import jax
     import jax.numpy as jnp
 
-    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_any
     from ggml_experiments_tpu.models import gru_textgen
     from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
 
-    params = load_gru_params(args.weights, qtype=args.qtype)
+    params = load_gru_any(args.weights, qtype=args.qtype)
     tok = CharTokenizer()
     prompts = args.prompt
     if not prompts:

@@ -131,3 +131,47 @@ def save_gru_params(path: str, params: GRUTextGenParams) -> None:
 def config_from_params(params: GRUTextGenParams) -> GRUConfig:
     v, e = params.embeddings.shape
     return GRUConfig(vocab_size=v, embed_dim=e, units=params.units)
+
+
+def load_gru_checkpoint(path: str) -> GRUTextGenParams:
+    """Load GRU params from a native .gxt checkpoint (float or quantized).
+
+    Structure-free: rebuilds the params dataclass from the checkpoint's
+    canonical key paths, so a quantize-CLI output serves directly.
+    """
+    from ggml_experiments_tpu.formats.checkpoint import load_arrays
+
+    flat = load_arrays(path)
+
+    def pick(*names):
+        for n in names:
+            if n in flat:
+                return flat[n]
+        raise KeyError(f"{path}: none of {names} present; keys: {sorted(flat)[:8]}...")
+
+    return GRUTextGenParams(
+        embeddings=pick("embeddings"),
+        cell=GRUCellParams(
+            kernel=pick("cell/kernel"),
+            recurrent_kernel=pick("cell/recurrent_kernel"),
+            bias=flat.get("cell/bias"),
+        ),
+        dense_kernel=pick("dense_kernel"),
+        dense_bias=flat.get("dense_bias"),
+    )
+
+
+def load_gru_any(path: str, *, qtype=None) -> GRUTextGenParams:
+    """Dispatch on extension: .gxt native checkpoint, else reference gru.bin."""
+    if path.endswith(".gxt"):
+        params = load_gru_checkpoint(path)
+        if qtype is not None and not hasattr(params.cell.kernel, "qtype"):
+            from ggml_experiments_tpu.quant import quantize
+
+            params.cell.kernel = quantize(np.asarray(params.cell.kernel), qtype)
+            params.cell.recurrent_kernel = quantize(
+                np.asarray(params.cell.recurrent_kernel), qtype
+            )
+            params.dense_kernel = quantize(np.asarray(params.dense_kernel), qtype)
+        return params
+    return load_gru_params(path, qtype=qtype)

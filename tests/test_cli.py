@@ -1,0 +1,86 @@
+"""CLI driver tests (in-process, forced-CPU platform)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ggml_experiments_tpu.cli import build_parser, main
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens")
+GRU = os.path.join(GOLD, "gru_small.bin")
+MV = os.path.join(GOLD, "mobilevit_tiny.ggml")
+
+
+def test_parser_subcommands():
+    ap = build_parser()
+    args = ap.parse_args(["generate", "--weights", "x.bin", "--prompt", "hi"])
+    assert args.cmd == "generate" and args.steps == 200  # reference default
+    with pytest.raises(SystemExit):
+        ap.parse_args(["generate"])  # --weights required
+
+
+def test_generate_cli_golden(capsys):
+    gold = np.load(os.path.join(GOLD, "gru_small.npz"))
+    rc = main([
+        "generate", "--weights", GRU, "--prompt", "ROMEO: ", "--steps", "60",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    want = CharTokenizer().decode(gold["decode_ids"])
+    assert want in out
+
+
+def test_generate_cli_batch_and_temperature(capsys):
+    rc = main([
+        "generate", "--weights", GRU, "--prompt", "KING ", "--prompt", "QUEEN ",
+        "--steps", "20", "--temperature", "0.8", "--qtype", "q4_0",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("--------") == 2
+
+
+def test_features_cli_reference_format(capsys):
+    rc = main(["features", "--weights", MV])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "output feature shape: : Dims: (8, 8, 96)" in out
+    assert "i0 = 0, i1 = 0" in out
+
+
+def test_quantize_cli_roundtrip(tmp_path, capsys):
+    out_path = str(tmp_path / "gru.gxt")
+    rc = main(["quantize", "--input", GRU, "--output", out_path, "--qtype", "q8_0"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["qtype"] == "q8_0" and os.path.exists(out_path)
+    # serve directly from the quantized checkpoint
+    rc = main(["generate", "--weights", out_path, "--prompt", "ROMEO: ", "--steps", "30"])
+    assert rc == 0
+
+
+def test_train_gru_cli(tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    from ggml_experiments_tpu.training.data import synthetic_corpus
+
+    corpus.write_text(synthetic_corpus(4000))
+    out_bin = str(tmp_path / "trained.bin")
+    rc = main([
+        "train-gru", "--corpus", str(corpus), "--epochs", "1", "--seq-length", "16",
+        "--batch-size", "8", "--embed-dim", "8", "--units", "16",
+        "--output", out_bin, "--log-every", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "exported weights" in out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(rec["final_loss"])
+    # the exported file loads back through the reference-format reader
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    p = load_gru_params(out_bin)
+    assert p.embeddings.shape == (66, 8) and p.units == 16
