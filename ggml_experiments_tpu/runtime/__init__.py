@@ -130,6 +130,23 @@ def dequantize(codes: np.ndarray, scales: np.ndarray, qtype: str) -> Optional[np
     return out
 
 
+def bilinear_resize_u8(img: np.ndarray, out_h: int, out_w: int, scale: float):
+    """Native bilinear resample (reference-exact); None if lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    out = np.empty((out_h, out_w, c), np.uint8)
+    rc = lib.bilinear_resize_u8(
+        _ptr(img), ctypes.c_int64(h), ctypes.c_int64(w), ctypes.c_int64(c),
+        ctypes.c_int64(out_h), ctypes.c_int64(out_w), ctypes.c_float(scale), _ptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"bilinear_resize_u8 failed rc={rc}")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Format parsers (index natively, bulk-read payloads with numpy)
 # ---------------------------------------------------------------------------

@@ -229,6 +229,49 @@ int64_t gru_bin_index(const char* path,
     return count;
 }
 
+// ---------------------------------------------------------------------------
+// Image preprocessing (the reference's SAM-style bilinear, main.cpp:538-601)
+// ---------------------------------------------------------------------------
+
+// Reference-exact bilinear resample of a u8 HWC image: sample at
+// (x+0.5)*scale-0.5 with edge clamp, round back to u8. Matches
+// utils/image.bilinear_resize_u8 byte-for-byte.
+int bilinear_resize_u8(const uint8_t* img, int64_t h, int64_t w, int64_t c,
+                       int64_t out_h, int64_t out_w, float scale, uint8_t* out) {
+    if (!img || !out || h <= 0 || w <= 0 || c <= 0) return GXT_ERR_ARG;
+#pragma omp parallel for schedule(static)
+    for (int64_t y = 0; y < out_h; y++) {
+        const float sy = (y + 0.5f) * scale - 0.5f;
+        int64_t y0 = (int64_t)floorf(sy);
+        if (y0 < 0) y0 = 0;
+        if (y0 > h - 1) y0 = h - 1;  // defensive: the reference's C++ would read OOB
+        int64_t y1 = y0 + 1 < h ? y0 + 1 : h - 1;
+        const float dy = sy - (float)y0;  // may be negative at the top edge — the
+                                          // reference extrapolates there (main.cpp:574)
+        for (int64_t x = 0; x < out_w; x++) {
+            const float sx = (x + 0.5f) * scale - 0.5f;
+            int64_t x0 = (int64_t)floorf(sx);
+            if (x0 < 0) x0 = 0;
+            if (x0 > w - 1) x0 = w - 1;
+            int64_t x1 = x0 + 1 < w ? x0 + 1 : w - 1;
+            const float dx = sx - (float)x0;
+            for (int64_t ch = 0; ch < c; ch++) {
+                const float v00 = img[(y0 * w + x0) * c + ch];
+                const float v01 = img[(y0 * w + x1) * c + ch];
+                const float v10 = img[(y1 * w + x0) * c + ch];
+                const float v11 = img[(y1 * w + x1) * c + ch];
+                const float v0 = v00 * (1.0f - dx) + v01 * dx;
+                const float v1 = v10 * (1.0f - dx) + v11 * dx;
+                float v = roundf(v0 * (1.0f - dy) + v1 * dy);
+                if (v < 0.0f) v = 0.0f;
+                if (v > 255.0f) v = 255.0f;
+                out[(y * out_w + x) * c + ch] = (uint8_t)v;
+            }
+        }
+    }
+    return GXT_OK;
+}
+
 int gxt_abi_version(void) { return 1; }
 
 }  // extern "C"

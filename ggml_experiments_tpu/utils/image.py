@@ -27,15 +27,29 @@ def bilinear_resize_u8(img: np.ndarray, out_h: int, out_w: int, scale: float) ->
     """Reference-exact bilinear resample of a u8 HWC image (main.cpp:561-598).
 
     Samples at ``(x + 0.5)*scale - 0.5`` with edge clamping, rounds to u8.
-    Only the top-left (out_h, out_w) region is produced.
+    Only the top-left (out_h, out_w) region is produced. Uses the native C++
+    path (runtime/) when available; the numpy below is the reference.
     """
+    try:
+        from ggml_experiments_tpu import runtime
+
+        native = runtime.bilinear_resize_u8(img, out_h, out_w, scale)
+        if native is not None:
+            return native
+    except Exception:
+        pass
+    return bilinear_resize_u8_py(img, out_h, out_w, scale)
+
+
+def bilinear_resize_u8_py(img: np.ndarray, out_h: int, out_w: int, scale: float) -> np.ndarray:
+    """Pure-numpy reference implementation (fallback + native-parity oracle)."""
     h, w, c = img.shape
     ys = np.arange(out_h, dtype=np.float32)
     xs = np.arange(out_w, dtype=np.float32)
     sy = (ys + 0.5) * scale - 0.5
     sx = (xs + 0.5) * scale - 0.5
-    y0 = np.maximum(0, np.floor(sy).astype(np.int64))
-    x0 = np.maximum(0, np.floor(sx).astype(np.int64))
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
     dy = (sy - y0).astype(np.float32)[:, None, None]
@@ -48,7 +62,8 @@ def bilinear_resize_u8(img: np.ndarray, out_h: int, out_w: int, scale: float) ->
     v0 = v00 * (1 - dx) + v01 * dx
     v1 = v10 * (1 - dx) + v11 * dx
     v = v0 * (1 - dy) + v1 * dy
-    return np.clip(np.round(v), 0, 255).astype(np.uint8)
+    # std::round semantics (half away from zero) — np.round is half-to-even
+    return np.clip(np.floor(v + 0.5), 0, 255).astype(np.uint8)
 
 
 def preprocess(

@@ -70,3 +70,17 @@ def test_native_parser_rejects_garbage(tmp_path):
     bad.write_bytes(b"\xff\xff\xff\xff0123456789")
     with pytest.raises(ValueError, match="native parse error"):
         runtime.read_named_tensors_native(str(bad))
+
+
+def test_native_bilinear_matches_numpy(rng):
+    from ggml_experiments_tpu.utils.image import bilinear_resize_u8_py
+
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    for out_h, out_w, scale in [(16, 23, 2.3), (37, 53, 1.0), (7, 10, 5.2)]:
+        got = runtime.bilinear_resize_u8(img, out_h, out_w, scale)
+        want = bilinear_resize_u8_py(img, out_h, out_w, scale)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # f32 op-order differs between the scalar C++ loop and vectorized
+        # numpy; exact-.5 ties may land one code apart (<0.1% of pixels)
+        assert diff.max() <= 1 and (diff != 0).mean() < 1e-3, (
+            diff.max(), (diff != 0).mean())
