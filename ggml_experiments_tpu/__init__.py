@@ -21,4 +21,8 @@ Layering (bottom-up): ``quant`` -> ``ops`` -> ``models`` -> ``parallel`` /
 
 __version__ = "0.1.0"
 
-from ggml_experiments_tpu import quant, ops  # noqa: F401
+from ggml_experiments_tpu import ops, quant  # noqa: F401
+
+# heavier subpackages (models, formats, parallel, serving, training,
+# evaluation, utils, runtime) import on demand to keep `import
+# ggml_experiments_tpu` light; they are all regular submodules.

@@ -33,7 +33,7 @@ import numpy as np
 from ggml_experiments_tpu.ops.attention import AttentionParams, multi_head_attention
 from ggml_experiments_tpu.ops.conv import ConvBNAct
 from ggml_experiments_tpu.ops.linear import Weight, linear
-from ggml_experiments_tpu.ops.norm import FoldedBN, fold_batchnorm, layer_norm
+from ggml_experiments_tpu.ops.norm import fold_batchnorm, layer_norm
 from ggml_experiments_tpu.ops.patches import fold, unfold
 from ggml_experiments_tpu.quant import quantize
 
@@ -344,6 +344,7 @@ def from_named_tensors(
     conv_dtype: Optional[str] = None,
     qtype: Optional[str] = None,
     strict: bool = False,
+    stem_space_to_depth: bool = False,
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
@@ -395,6 +396,10 @@ def from_named_tensors(
         ),
         conv_1x1_exp=_conv(tm, f"{prefix}/conv_1x1_exp", conv_dtype=conv_dtype),
     )
+    if stem_space_to_depth:
+        from ggml_experiments_tpu.ops.conv import space_to_depth_stem
+
+        params.conv_stem = space_to_depth_stem(params.conv_stem)
     # optional classifier head (exported from MobileViTForImageClassification)
     for cand in ("classifier/kernel:0", "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):
         if cand in tensors:

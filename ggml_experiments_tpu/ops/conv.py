@@ -74,6 +74,68 @@ def depthwise_conv2d(
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
+class SpaceToDepthStem:
+    """Stride-2 3x3 stem conv rewritten as space-to-depth + stride-1 2x2 conv.
+
+    The classic TPU trick for RGB stems: a 3-input-channel conv wastes the
+    128-deep MXU; folding 2x2 pixel blocks into channels (3 -> 12) and
+    rescattering the kernel makes the contraction 4x deeper with identical
+    arithmetic. Built from a standard stem by :func:`space_to_depth_stem`.
+
+    Input (B, H, W, 3) -> output (B, H/2, W/2, OC) — bit-compatible (up to fp
+    reassociation) with ``ConvBNAct(kernel_3x3, stride=2)``.
+    """
+
+    kernel: jax.Array  # (2, 2, 4*Cin, OC), rescattered from (3, 3, Cin, OC)
+    bn: Optional[FoldedBN] = None
+    activation: str = dataclasses.field(default="silu", metadata=dict(static=True))
+
+    def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+        b, h, w, c = x.shape
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if compute_dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        y = jax.lax.conv_general_dilated(
+            x2.astype(compute_dtype),
+            self.kernel.astype(compute_dtype),
+            window_strides=(1, 1),
+            padding=[(1, 0), (1, 0)],   # original symmetric pad 1 maps to top/left
+            dimension_numbers=_DN,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if self.bn is not None:
+            y = y * self.bn.scale + self.bn.bias
+        return get_activation(self.activation)(y)
+
+
+def space_to_depth_stem(stem: "ConvBNAct") -> SpaceToDepthStem:
+    """Convert a stride-2 3x3 ConvBNAct into the space-to-depth form."""
+    k = stem.kernel
+    kh, kw, cin, oc = k.shape
+    if (kh, kw) != (3, 3) or stem.stride != 2 or stem.depthwise:
+        raise ValueError("space_to_depth_stem expects a stride-2 3x3 dense conv")
+    # K2[P, Q, (a*2+b)*Cin + c, o] = K[2P+a-1, 2Q+b-1, c, o] (zero out of range):
+    # output pixel (i,j) reads original rows 2i-1..2i+1 = s2d blocks i-1 (offset
+    # a=1) and i (a=0,1); with left/top padding 1 the 2x2 block conv covers them.
+    k2 = jnp.zeros((2, 2, 4 * cin, oc), k.dtype)
+    for p in range(2):
+        for q in range(2):
+            for a in range(2):
+                for bq in range(2):
+                    di, dj = 2 * p + a - 1, 2 * q + bq - 1
+                    if 0 <= di < 3 and 0 <= dj < 3:
+                        ch = (a * 2 + bq) * cin
+                        k2 = k2.at[p, q, ch : ch + cin].set(k[di, dj])
+    return SpaceToDepthStem(kernel=k2, bn=stem.bn, activation=stem.activation)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
 class ConvBNAct:
     """Conv (+ optional folded BN) (+ optional activation) parameter bundle.
 

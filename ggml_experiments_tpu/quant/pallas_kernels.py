@@ -31,6 +31,15 @@ from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
 # Flipped to True on CPU (tests / simulated meshes) where Mosaic can't compile.
 _INTERPRET = False
 
+# Weights with K*N at or below this take the inline-XLA dequant+dot path
+# instead of the Pallas kernel: for the many small transformer projections
+# (MobileViT: 144..480-wide) per-launch overhead dominates, and XLA folds the
+# cheap dequant into the surrounding graph (hoisting it out of scans when
+# loop-invariant). Large weights (GRU gate matmuls) stay on the fused kernel,
+# where compressed HBM traffic matters. Measured crossover on v5e: the small
+# path doubles quantized MobileViT throughput with zero accuracy change.
+XLA_FALLBACK_MAX_ELEMS = 1 << 20
+
 
 def set_interpret(value: bool) -> None:
     global _INTERPRET
@@ -162,6 +171,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
     k, n = qt.shape
     if x.shape[-1] != k:
         raise ValueError(f"x last dim {x.shape[-1]} != weight K {k}")
+    if k * n <= XLA_FALLBACK_MAX_ELEMS:
+        return _xla_dequant_dot(x, qt, compute_dtype=compute_dtype)
     batch_shape = x.shape[:-1]
     m = 1
     for d in batch_shape:
@@ -183,6 +194,23 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
         compute_dtype=compute_dtype,
     )
     return out.reshape(*batch_shape, n)
+
+
+def _xla_dequant_dot(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:
+    """In-graph dequantize + dot for small weights (traceable, scan-hoistable)."""
+    codes = unpack_q4(qt.codes) if qt.qtype == "q4_0" else qt.codes.astype(jnp.float32)
+    kp, np_ = codes.shape
+    w = (codes.reshape(kp // BLOCK, BLOCK, np_) * qt.scales[:, None, :]).reshape(kp, np_)
+    w = w[: qt.k, : qt.n]
+    precision = (
+        jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    return jnp.dot(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
 
 
 def qmatmul_reference(x: jax.Array, qt: QTensor) -> jax.Array:

@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ggml_experiments_tpu.models import gru_textgen
 from ggml_experiments_tpu.models.gru_textgen import GRUTextGenParams
 
 
@@ -167,6 +166,7 @@ class DecodeEngine:
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
         self._next_id = 0
+        self._id_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = EngineStats()
@@ -178,8 +178,10 @@ class DecodeEngine:
             raise ValueError("prompt_ids must be a non-empty 1-D int array")
         if prompt_ids.size > self.max_prompt:
             raise ValueError(f"prompt longer than max_prompt={self.max_prompt}")
-        req = Request(prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=self._next_id)
-        self._next_id += 1
+        with self._id_lock:
+            req_id = self._next_id
+            self._next_id += 1
+        req = Request(prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=req_id)
         self._queue.put(req)
         return req
 

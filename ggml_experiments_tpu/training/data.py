@@ -59,8 +59,6 @@ def batches(
 def synthetic_corpus(n_chars: int = 50000, seed: int = 0) -> str:
     """Deterministic pseudo-text over the Shakespeare vocab (for tests/CI)."""
     rng = np.random.default_rng(seed)
-    from ggml_experiments_tpu.utils.tokenizer import SHAKESPEARE_VOCAB as V
-
     words = ["the ", "thou ", "and ", "king ", "lord ", "O ", "my ", "\n"]
     out = []
     total = 0

@@ -187,3 +187,32 @@ def test_linear_jit_with_qtensor(rng):
     out = np.asarray(f(x, qt))
     ref = np.asarray(x) @ np.asarray(quant.dequantize(qt))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_space_to_depth_stem_matches_conv(rng):
+    """s2d stem == stride-2 3x3 stem (identical arithmetic, reassociated)."""
+    import jax.numpy as jnp
+    from ggml_experiments_tpu.ops.conv import ConvBNAct, space_to_depth_stem
+    from ggml_experiments_tpu.ops.norm import fold_batchnorm
+
+    k = _rand(rng, 3, 3, 3, 16, scale=0.3)
+    bn = fold_batchnorm(
+        jnp.asarray(np.abs(_rand(rng, 16)) + 0.5), jnp.asarray(_rand(rng, 16)),
+        jnp.asarray(_rand(rng, 16)), jnp.asarray(np.abs(_rand(rng, 16)) + 0.5),
+    )
+    stem = ConvBNAct(kernel=jnp.asarray(k), bn=bn, activation="silu", stride=2)
+    s2d = space_to_depth_stem(stem)
+    x = jnp.asarray(_rand(rng, 2, 16, 16, 3))
+    np.testing.assert_allclose(
+        np.asarray(s2d(x)), np.asarray(stem(x)), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_space_to_depth_rejects_wrong_shape(rng):
+    import jax.numpy as jnp
+    from ggml_experiments_tpu.ops.conv import ConvBNAct, space_to_depth_stem
+
+    with pytest.raises(ValueError, match="stride-2 3x3"):
+        space_to_depth_stem(
+            ConvBNAct(kernel=jnp.zeros((1, 1, 3, 16)), stride=2)
+        )
