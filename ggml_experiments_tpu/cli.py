@@ -189,6 +189,38 @@ def cmd_train_gru(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Quantization-delta report: quantized vs fp32 on the same weights."""
+    _setup(args)
+    import numpy as np
+
+    from ggml_experiments_tpu import evaluation
+
+    qtype = args.qtype or "q8_0"
+    rng = np.random.default_rng(args.seed)
+    if args.weights.endswith(".bin"):
+        from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+        ref = load_gru_params(args.weights)
+        q = load_gru_params(args.weights, qtype=qtype)
+        v = ref.embeddings.shape[0]
+        seqs = rng.integers(0, v, (args.batch, args.length + 1)).astype(np.int32)
+        rep = evaluation.eval_gru_delta(ref, q, seqs)
+    else:
+        from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, from_named_tensors
+        from ggml_experiments_tpu.utils.image import synthetic_test_image
+
+        tensors = read_named_tensors(args.weights)
+        config = MobileViTConfig()
+        ref = from_named_tensors(tensors, config)
+        q = from_named_tensors(tensors, config, qtype=qtype)
+        imgs = np.stack([synthetic_test_image(config.image_size)] * args.batch)
+        rep = evaluation.eval_mobilevit_delta(ref, q, imgs)
+    print(json.dumps({"qtype": qtype, **rep.as_dict()}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="ggml_experiments_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -222,6 +254,14 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--output", required=True, help="output .gxt path")
     _add_common(q)
     q.set_defaults(fn=cmd_quantize)
+
+    e = sub.add_parser("eval", help="quantization-delta report (logits/top-1/ppl vs fp32)")
+    e.add_argument("--weights", required=True, help="gru.bin or weight.ggml")
+    e.add_argument("--batch", type=int, default=8)
+    e.add_argument("--length", type=int, default=64, help="sequence length (GRU eval)")
+    e.add_argument("--seed", type=int, default=0)
+    _add_common(e)
+    e.set_defaults(fn=cmd_eval)
 
     t = sub.add_parser("train-gru", help="train the char GRU (reference training script)")
     t.add_argument("--corpus", required=True, help="text file (e.g. shakespeare.txt)")

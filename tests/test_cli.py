@@ -84,3 +84,10 @@ def test_train_gru_cli(tmp_path, capsys):
 
     p = load_gru_params(out_bin)
     assert p.embeddings.shape == (66, 8) and p.units == 16
+
+
+def test_eval_cli(capsys):
+    rc = main(["eval", "--weights", GRU, "--qtype", "q8_0", "--batch", "2", "--length", "16"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["qtype"] == "q8_0" and rec["top1_agreement"] > 0.9 and "ppl_a" in rec
