@@ -80,10 +80,9 @@ def save(path: str, tree: Any) -> None:
             meta = {"qtype": leaf.qtype, "logical_shape": list(leaf.shape)}
             add(name + ".codes", leaf.codes, {"quant": meta})
             add(name + ".scales", leaf.scales, {"quant": meta})
-        elif leaf is None:
-            entries.append({"name": name, "dtype": "none", "shape": []})
-            blobs.append(np.zeros((0,), np.uint8))
         else:
+            # (None never appears here: it is an empty pytree, not a leaf —
+            # load_into templates re-supply structural Nones)
             add(name, leaf)
 
     # assign offsets
