@@ -104,15 +104,13 @@ def train(
 
         manager = CheckpointManager(cfg.checkpoint_path)
 
+    from ggml_experiments_tpu.training.prefetch import prefetch_to_device
+
+    sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS)) if mesh is not None else None
     history = []
     t0 = time.time()
-    for i, (inputs, targets) in enumerate(batches):
-        inputs = jnp.asarray(inputs)
-        targets = jnp.asarray(targets)
-        if mesh is not None:
-            sh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
-            inputs = jax.device_put(inputs, sh)
-            targets = jax.device_put(targets, sh)
+    stream = prefetch_to_device(batches, sharding=sharding)
+    for i, (inputs, targets) in enumerate(stream):
         params, opt_state, loss = step_fn(params, opt_state, inputs, targets)
         if i % cfg.log_every == 0 or manager is not None:
             loss_val = float(loss)

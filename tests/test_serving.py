@@ -108,7 +108,6 @@ def test_snapshot_restore_mid_decode(params, tmp_path):
 def test_tensor_parallel_serving_matches(params):
     """Continuous batching with TP-sharded params over the 8-device mesh
     produces identical tokens (multi-chip serving path)."""
-    from jax.sharding import PartitionSpec as P
     from ggml_experiments_tpu.parallel import gru_param_specs, make_mesh, place
 
     mesh = make_mesh((2, 4))

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from ggml_experiments_tpu.formats.checkpoint import load_into
 from ggml_experiments_tpu.models import gru_textgen
@@ -84,3 +85,24 @@ def test_remat_training_matches_loss():
     _, _, loss_plain = make_train_step(opt)(p1, opt.init(p1), inp, tgt)
     _, _, loss_remat = make_train_step(opt, remat=True)(p2, opt.init(p2), inp, tgt)
     np.testing.assert_allclose(float(loss_plain), float(loss_remat), rtol=1e-6)
+
+
+def test_prefetch_to_device_order_and_errors():
+    import jax.numpy as jnp
+    from ggml_experiments_tpu.training.prefetch import prefetch_to_device
+
+    items = [(np.full((2, 2), i, np.float32), np.int32(i)) for i in range(7)]
+    out = list(prefetch_to_device(iter(items), depth=3))
+    assert len(out) == 7
+    for i, (a, b) in enumerate(out):
+        assert isinstance(a, jnp.ndarray) and float(a[0, 0]) == i and int(b) == i
+
+    def boom():
+        yield items[0]
+        raise RuntimeError("producer failed")
+
+    it = prefetch_to_device(boom())
+    next(it)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        for _ in it:
+            pass
