@@ -61,6 +61,8 @@ def cmd_generate(args) -> int:
         jnp.asarray(lengths),
         args.steps,
         temperature=args.temperature,
+        top_k=args.top_k,
+        top_p=args.top_p,
         rng=jax.random.PRNGKey(args.seed),
         compute_dtype=compute_dtype,
     )
@@ -230,6 +232,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--prompt", action="append", help="prompt (repeat for a batch)")
     g.add_argument("--steps", type=int, default=200, help="total decode steps (reference: 200)")
     g.add_argument("--temperature", type=float, default=0.0, help="0 = greedy (reference)")
+    g.add_argument("--top-k", type=int, default=None, help="sample from k best (needs temperature)")
+    g.add_argument("--top-p", type=float, default=None, help="nucleus sampling mass")
     g.add_argument("--seed", type=int, default=0)
     _add_common(g)
     g.set_defaults(fn=cmd_generate)

@@ -30,6 +30,7 @@ from ggml_experiments_tpu.ops.gru import (
     input_projection,
     recurrent_projection,
 )
+from ggml_experiments_tpu.ops import sampling
 from ggml_experiments_tpu.ops.linear import Weight, embedding_lookup, linear
 
 
@@ -127,6 +128,8 @@ def generate(
     total_steps: int,
     *,
     temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    top_p: Optional[float] = None,
     rng: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
 ) -> jax.Array:
@@ -138,7 +141,8 @@ def generate(
     tokens *fed* (200 chars for the 200-step loop; the final step's argmax is
     computed but never emitted). Returns that token sequence, shape
     (B, total_steps). ``temperature > 0`` switches greedy argmax for
-    categorical sampling (an extension; the reference is greedy-only).
+    categorical sampling, optionally filtered by ``top_k`` / nucleus
+    ``top_p`` (extensions; the reference is greedy-only).
     """
     b, p = prompt_ids.shape
     if p < total_steps:
@@ -168,10 +172,12 @@ def generate(
                         compute_dtype=compute_dtype)
         if temperature > 0.0:
             key, sub = jax.random.split(key)
-            pred = jax.random.categorical(sub, logits / temperature, axis=-1)
+            pred = sampling.sample(
+                logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+            )
         else:
-            pred = jnp.argmax(logits, axis=-1)
-        return (h, pred.astype(jnp.int32), key), tok
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (h, pred, key), tok
 
     steps_j = jnp.arange(total_steps, dtype=jnp.int32)
     _, toks = jax.lax.scan(

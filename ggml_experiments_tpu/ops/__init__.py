@@ -3,6 +3,7 @@
 from ggml_experiments_tpu.ops.activations import get_activation, sigmoid, silu, tanh
 from ggml_experiments_tpu.ops.attention import AttentionParams, multi_head_attention
 from ggml_experiments_tpu.ops.conv import ConvBNAct, conv2d, depthwise_conv2d
+from ggml_experiments_tpu.ops import sampling
 from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 from ggml_experiments_tpu.ops.gru import (
     GRUCellParams,
@@ -28,6 +29,7 @@ __all__ = [
     "depthwise_conv2d",
     "GRUCellParams",
     "fused_gru_decode",
+    "sampling",
     "gru_cell",
     "gru_combine",
     "gru_sequence",

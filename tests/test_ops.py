@@ -216,3 +216,65 @@ def test_space_to_depth_rejects_wrong_shape(rng):
         space_to_depth_stem(
             ConvBNAct(kernel=jnp.zeros((1, 1, 3, 16)), stride=2)
         )
+
+
+def test_sampling_top_k(rng):
+    from ggml_experiments_tpu.ops import sampling
+
+    logits = jnp.asarray(_rand(rng, 4, 66))
+    masked = np.asarray(sampling.apply_top_k(logits, 5))
+    assert ((masked > sampling.NEG / 2).sum(axis=-1) == 5).all()
+    # surviving entries are exactly the 5 largest
+    for row_m, row_l in zip(masked, np.asarray(logits)):
+        top5 = set(np.argsort(row_l)[-5:])
+        assert set(np.where(row_m > sampling.NEG / 2)[0]) == top5
+    with pytest.raises(ValueError, match="top_k"):
+        sampling.apply_top_k(logits, 0)
+
+
+def test_sampling_top_p(rng):
+    from ggml_experiments_tpu.ops import sampling
+
+    logits = jnp.asarray(_rand(rng, 3, 66) * 3)
+    masked = np.asarray(sampling.apply_top_p(logits, 0.5))
+    probs = np.exp(np.asarray(logits)) / np.exp(np.asarray(logits)).sum(-1, keepdims=True)
+    for row_m, row_p in zip(masked, probs):
+        keep = row_m > sampling.NEG / 2
+        assert keep[row_p.argmax()]                      # argmax always kept
+        # kept mass reaches p; dropping the least-likely kept token would not
+        kept_sorted = np.sort(row_p[keep])
+        assert row_p[keep].sum() >= 0.5
+        assert row_p[keep].sum() - kept_sorted[0] < 0.5
+    # p=1 keeps everything
+    assert (np.asarray(sampling.apply_top_p(logits, 1.0)) == np.asarray(logits)).all()
+    with pytest.raises(ValueError, match="top_p"):
+        sampling.apply_top_p(logits, 0.0)
+
+
+def test_sample_greedy_equals_argmax(rng):
+    from ggml_experiments_tpu.ops import sampling
+
+    logits = jnp.asarray(_rand(rng, 8, 66))
+    ids = sampling.sample(logits, jax.random.PRNGKey(0), temperature=0.0)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(logits).argmax(-1))
+    # top_k=1 sampling is argmax regardless of temperature
+    ids1 = sampling.sample(logits, jax.random.PRNGKey(1), temperature=2.0, top_k=1)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(logits).argmax(-1))
+
+
+def test_generate_with_topk_topp_runs():
+    import os
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+    from ggml_experiments_tpu.models import gru_textgen
+
+    params = load_gru_params(
+        os.path.join(os.path.dirname(__file__), "goldens", "gru_small.bin")
+    )
+    prompt = jnp.asarray([[5, 6, 7]], jnp.int32)
+    lengths = jnp.asarray([3], jnp.int32)
+    toks = gru_textgen.generate(
+        params, prompt, lengths, 20, temperature=0.9, top_k=10, top_p=0.9,
+        rng=jax.random.PRNGKey(0),
+    )
+    assert toks.shape == (1, 20)
+    assert (np.asarray(toks) >= 0).all() and (np.asarray(toks) < 66).all()
