@@ -186,3 +186,37 @@ def generate(
         (steps_j, prompt_pad.swapaxes(0, 1)),
     )
     return toks.swapaxes(0, 1)  # (B, total_steps)
+
+
+def decode(
+    params: GRUTextGenParams,
+    prompt_ids: jax.Array,
+    prompt_lengths: jax.Array,
+    total_steps: int,
+    **kw,
+) -> jax.Array:
+    """Decode with automatic path selection.
+
+    Greedy + Q8_0 weights + large batch routes to the persistent fused Pallas
+    kernel (ops/fused_gru_decode — whole token loop on-core, fastest measured
+    config at batch >= 512); everything else (sampling, float weights, small
+    batches where the scan's XLA program wins) uses :func:`generate`. Both
+    paths produce identical tokens for the greedy case.
+    """
+    from ggml_experiments_tpu.quant import QTensor
+
+    greedy = kw.get("temperature", 0.0) == 0.0
+    q8 = (
+        isinstance(params.cell.kernel, QTensor)
+        and isinstance(params.cell.recurrent_kernel, QTensor)
+        and isinstance(params.dense_kernel, QTensor)
+        and params.cell.kernel.qtype == "q8_0"
+    )
+    if greedy and q8 and prompt_ids.shape[0] >= 512:
+        from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
+
+        return fused_gru_decode(
+            params, prompt_ids, prompt_lengths, total_steps,
+            compute_dtype=kw.get("compute_dtype", jnp.bfloat16),
+        )
+    return generate(params, prompt_ids, prompt_lengths, total_steps, **kw)

@@ -56,7 +56,16 @@ def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotS
     )
 
 
-def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, compute_dtype=jnp.float32):
+def _slot_scan(
+    params: GRUTextGenParams,
+    state: SlotState,
+    rng: jax.Array,
+    inner_steps: int,
+    compute_dtype=jnp.float32,
+    temperature: float = 0.0,
+    top_k=None,
+    top_p=None,
+):
     """Advance every slot ``inner_steps`` tokens. Returns (state, toks, valid)
     with toks/valid shaped (B, inner_steps); valid marks tokens belonging to a
     live request (idle slots churn but their output is masked)."""
@@ -67,7 +76,8 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, com
     # loop-invariant: per-step x-projection becomes a vocab-table gather
     proj = input_projection(params.cell, params.embeddings, compute_dtype=compute_dtype)
 
-    def one(state: SlotState, _):
+    def one(carry, _):
+        state, key = carry
         active = state.pos < state.total
         in_prompt = state.pos < state.plen
         pcur = jnp.take_along_axis(
@@ -79,7 +89,15 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, com
         h_new = gru_combine(mx, mh, state.h)
         logits = linear(h_new, params.dense_kernel, params.dense_bias,
                         compute_dtype=compute_dtype)
-        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if temperature > 0.0:
+            from ggml_experiments_tpu.ops import sampling
+
+            key, sub = jax.random.split(key)
+            pred = sampling.sample(
+                logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+        else:
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new = SlotState(
             h=jnp.where(active[:, None], h_new, state.h),
             prev=jnp.where(active, pred, state.prev),
@@ -88,9 +106,9 @@ def _slot_scan(params: GRUTextGenParams, state: SlotState, inner_steps: int, com
             plen=state.plen,
             prompt=state.prompt,
         )
-        return new, (tok, active)
+        return (new, key), (tok, active)
 
-    state, (toks, valid) = jax.lax.scan(one, state, None, length=inner_steps)
+    (state, _), (toks, valid) = jax.lax.scan(one, (state, rng), None, length=inner_steps)
     return state, toks.swapaxes(0, 1), valid.swapaxes(0, 1)
 
 
@@ -149,16 +167,27 @@ class DecodeEngine:
         max_prompt: int = 64,
         inner_steps: int = 16,
         compute_dtype=jnp.float32,
+        temperature: float = 0.0,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        seed: int = 0,
     ):
         self.params = params
         self.n_slots = n_slots
         self.max_prompt = max_prompt
         self.inner_steps = inner_steps
         self.state = init_state(params, n_slots, max_prompt)
+        self._rng = jax.random.PRNGKey(seed)
         import functools
 
         self._scan = jax.jit(
-            functools.partial(_slot_scan, compute_dtype=compute_dtype),
+            functools.partial(
+                _slot_scan,
+                compute_dtype=compute_dtype,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+            ),
             static_argnames=("inner_steps",),
             donate_argnames=("state",),
         )
@@ -247,7 +276,8 @@ class DecodeEngine:
         if not busy:
             return False
         t0 = time.perf_counter()
-        self.state, toks, valid = self._scan(self.params, self.state, self.inner_steps)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, toks, valid = self._scan(self.params, self.state, sub, self.inner_steps)
         toks = np.asarray(toks)
         valid = np.asarray(valid)
         self.stats.wall_time_s += time.perf_counter() - t0

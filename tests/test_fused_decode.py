@@ -54,3 +54,21 @@ def test_fused_requires_quantized():
     p = load_gru_params(os.path.join(GOLD, "gru_small.bin"))  # fp32
     with pytest.raises(ValueError, match="q8_0"):
         fused_gru_decode(p, jnp.zeros((1, 4), jnp.int32), jnp.full((1,), 4, jnp.int32), 8)
+
+
+def test_decode_facade_routes(qparams):
+    """decode() picks the fused kernel only for greedy+q8+large-batch."""
+    import jax
+
+    prompt = jnp.zeros((2, 3), jnp.int32)
+    lengths = jnp.full((2,), 3, jnp.int32)
+    # small batch -> generate path (just verify it runs + matches generate)
+    a = gru_textgen.decode(qparams, prompt, lengths, 10, compute_dtype=jnp.float32)
+    b = gru_textgen.generate(qparams, prompt, lengths, 10, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # large batch greedy q8 -> fused path, still identical in f32
+    big_p = jnp.zeros((512, 3), jnp.int32)
+    big_l = jnp.full((512,), 3, jnp.int32)
+    c = gru_textgen.decode(qparams, big_p, big_l, 8, compute_dtype=jnp.float32)
+    d = gru_textgen.generate(qparams, big_p, big_l, 8, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))

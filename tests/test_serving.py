@@ -120,3 +120,18 @@ def test_tensor_parallel_serving_matches(params):
         np.testing.assert_array_equal(
             h.result(timeout=1), offline(params, prompt, len(prompt) + new)
         )
+
+
+def test_engine_sampling_mode_runs(params):
+    """Temperature sampling in the engine: valid tokens, still per-request
+    complete; greedy engines stay deterministic (other tests)."""
+    eng = DecodeEngine(
+        params, n_slots=2, max_prompt=8, inner_steps=4,
+        temperature=0.8, top_k=10, seed=42,
+    )
+    reqs = [eng.submit([1, 2], 12), eng.submit([3], 10)]
+    eng.run_until_idle(timeout_s=120)
+    for r, total in zip(reqs, (14, 11)):
+        out = r.result(timeout=1)
+        assert out.shape == (total,)
+        assert (out >= 0).all() and (out < 66).all()
