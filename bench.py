@@ -73,6 +73,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
+    on_tpu = dev.platform == "tpu"
+    if not on_tpu:
+        log("WARNING: no TPU detected — running reduced CPU configs (smoke mode)")
 
     # full-size reference model shapes (66 vocab / 256 embed / 1024 units),
     # random weights (the checkpoint is unfetchable; shapes determine perf)
@@ -140,15 +143,19 @@ def main():
         return tps
 
     results = {}
+    decode_batch = 1024 if on_tpu else 16
+    if not on_tpu:
+        steps = 32
     # (scan at B=256 reaches ~6M tok/s / 42us/step but its program misses the
     # persistent compile cache on this backend and costs ~5 min of remote
     # compile per run — B=1024 configs below cache reliably and are faster.)
-    results["scan_b1024_bf16"] = bench_decode(
+    results["scan_bf16"] = bench_decode(
         lambda p, l, b: gen(params, p, l, total_steps=steps, compute_dtype=jnp.bfloat16),
-        1024, "scan bf16")
+        decode_batch, "scan bf16")
     try:
-        results["fused_b1024_bf16"] = bench_decode(
-            lambda p, l, b: fused_gru_decode(params, p, l, steps), 1024, "fused-kernel")
+        results["fused_bf16"] = bench_decode(
+            lambda p, l, b: fused_gru_decode(params, p, l, steps), decode_batch,
+            "fused-kernel")
     except Exception as ex:
         log(f"fused decode skipped: {type(ex).__name__}: {ex}")
     tokens_per_s = max(results.values())
@@ -164,7 +171,7 @@ def main():
         mv_cfg = MobileViTConfig()
         mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
         feat_fn = jax.jit(extract_features, static_argnames=("compute_dtype",))
-        for mb in (32, 128):
+        for mb in (32, 128) if on_tpu else (2,):
             images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
             best = timeit_pipelined(
                 lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
