@@ -191,6 +191,44 @@ def cmd_train_gru(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive continuous-batching service: prompts on stdin, one per line
+    (the reference's `cin.getline` loop, .cpp:325-328, made a real service)."""
+    compute_dtype = _setup(args)
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_any
+    from ggml_experiments_tpu.serving import DecodeEngine
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    params = load_gru_any(args.weights, qtype=args.qtype)
+    tok = CharTokenizer()
+    engine = DecodeEngine(
+        params, n_slots=args.slots, max_prompt=args.max_prompt,
+        inner_steps=args.inner_steps, compute_dtype=compute_dtype,
+        temperature=args.temperature,
+    )
+    engine.start()
+    print(f"serving with {args.slots} slots; type a prompt per line "
+          f"(empty line or EOF to quit)", file=sys.stderr)
+    try:
+        while True:
+            line = sys.stdin.readline()
+            if not line or not line.strip("\n"):
+                break
+            req = engine.submit(tok.encode(line.rstrip("\n")[: args.max_prompt]),
+                                args.steps)
+            print(tok.decode(req.result(timeout=600)))
+            print("--------")
+        s = engine.stats
+        print(
+            f"[{s.requests_completed} requests, {s.tokens_generated} tokens, "
+            f"{s.tokens_per_s:,.0f} tokens/s device]",
+            file=sys.stderr,
+        )
+    finally:
+        engine.stop()
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Quantization-delta report: quantized vs fp32 on the same weights."""
     _setup(args)
@@ -258,6 +296,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--output", required=True, help="output .gxt path")
     _add_common(q)
     q.set_defaults(fn=cmd_quantize)
+
+    s = sub.add_parser("serve", help="interactive continuous-batching text service")
+    s.add_argument("--weights", required=True, help="gru.bin or .gxt checkpoint")
+    s.add_argument("--slots", type=int, default=16)
+    s.add_argument("--max-prompt", type=int, default=64)
+    s.add_argument("--inner-steps", type=int, default=16)
+    s.add_argument("--steps", type=int, default=200, help="max new tokens per request")
+    s.add_argument("--temperature", type=float, default=0.0)
+    _add_common(s)
+    s.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("eval", help="quantization-delta report (logits/top-1/ppl vs fp32)")
     e.add_argument("--weights", required=True, help="gru.bin or weight.ggml")
