@@ -103,3 +103,22 @@ def test_quantization_error_scale(rng):
     e4 = quant.quantization_error(w, "q4_0")
     assert e8 < e4  # 8-bit strictly tighter than 4-bit
     assert e8 < 0.05 and e4 < 0.6
+
+
+def test_qmatmul_shape_fuzz(rng):
+    """Randomized shape sweep across both qtypes and both execution paths
+    (Pallas-interpret for large K*N, inline-XLA for small)."""
+    import jax.numpy as jnp
+
+    for trial in range(12):
+        m = int(rng.integers(1, 48))
+        k = int(rng.integers(1, 300))
+        n = int(rng.integers(1, 200))
+        qtype = ["q8_0", "q4_0"][trial % 2]
+        w = rng.standard_normal((k, n)).astype(np.float32)
+        x = rng.standard_normal((m, k)).astype(np.float32)
+        qt = quant.quantize(w, qtype)
+        out = np.asarray(quant.qmatmul(jnp.asarray(x), qt))
+        ref = np.asarray(x) @ np.asarray(quant.dequantize(qt))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3,
+                                   err_msg=f"shapes m={m} k={k} n={n} {qtype}")
