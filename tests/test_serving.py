@@ -135,3 +135,21 @@ def test_engine_sampling_mode_runs(params):
         out = r.result(timeout=1)
         assert out.shape == (total,)
         assert (out >= 0).all() and (out < 66).all()
+
+
+def test_engine_prompt_exactly_max_prompt(params):
+    eng = DecodeEngine(params, n_slots=1, max_prompt=4, inner_steps=4)
+    req = eng.submit([1, 2, 3, 4], 6)
+    eng.run_until_idle()
+    out = req.result(timeout=1)
+    assert out.shape == (10,)
+    np.testing.assert_array_equal(out[:4], [1, 2, 3, 4])
+    np.testing.assert_array_equal(out, offline(params, [1, 2, 3, 4], 10))
+
+
+def test_engine_zero_new_tokens(params):
+    """max_new_tokens=0: request completes after consuming only the prompt."""
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4)
+    req = eng.submit([7, 8], 0)
+    eng.run_until_idle()
+    np.testing.assert_array_equal(req.result(timeout=1), [7, 8])
