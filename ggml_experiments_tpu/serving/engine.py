@@ -207,6 +207,8 @@ class DecodeEngine:
             raise ValueError("prompt_ids must be a non-empty 1-D int array")
         if prompt_ids.size > self.max_prompt:
             raise ValueError(f"prompt longer than max_prompt={self.max_prompt}")
+        if max_new_tokens < 0:
+            raise ValueError(f"max_new_tokens must be >= 0, got {max_new_tokens}")
         with self._id_lock:
             req_id = self._next_id
             self._next_id += 1
@@ -303,7 +305,12 @@ class DecodeEngine:
     # + queued requests; restore resumes mid-decode with no token loss.
 
     def snapshot(self, path: str) -> None:
-        """Persist engine state (device slots + in-flight/queued requests)."""
+        """Persist engine state (device slots + in-flight/queued requests).
+
+        Call with the background thread stopped (or from the driving thread in
+        synchronous mode) — a concurrent ``_tick`` would advance slots between
+        the state capture and the request-progress capture.
+        """
         from ggml_experiments_tpu.formats import checkpoint
 
         pending = []

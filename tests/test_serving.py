@@ -153,3 +153,9 @@ def test_engine_zero_new_tokens(params):
     req = eng.submit([7, 8], 0)
     eng.run_until_idle()
     np.testing.assert_array_equal(req.result(timeout=1), [7, 8])
+
+
+def test_submit_negative_new_tokens(params):
+    eng = DecodeEngine(params, n_slots=1, max_prompt=4)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        eng.submit([1], -1)

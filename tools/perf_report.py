@@ -1,0 +1,114 @@
+"""Generate a markdown performance report with roofline accounting.
+
+Runs the same pipelined-timing methodology as bench.py across the main
+configurations and renders utils/observability's roofline numbers, so
+"speed-of-light fraction" is a recorded artifact rather than a claim.
+
+    python tools/perf_report.py [out.md]     (runs on the default device)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(out_path="PERF.md"):
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
+    )
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
+    from ggml_experiments_tpu.ops.gru import GRUCellParams
+    from ggml_experiments_tpu.quant import quantize
+    from ggml_experiments_tpu.utils.image import synthetic_test_image
+    from ggml_experiments_tpu.utils.observability import gru_decode_roofline
+
+    dev = jax.devices()[0]
+    rng = np.random.default_rng(0)
+    cfg = GRUConfig()
+    v, e, u = cfg.vocab_size, cfg.embed_dim, cfg.units
+    params = gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray((rng.standard_normal((v, e)) * 0.05).astype(np.float32)),
+        cell=GRUCellParams(
+            kernel=quantize((rng.standard_normal((e, 3 * u)) * 0.05).astype(np.float32), "q8_0"),
+            recurrent_kernel=quantize(
+                (rng.standard_normal((u, 3 * u)) * 0.05).astype(np.float32), "q8_0"
+            ),
+            bias=jnp.asarray((rng.standard_normal((2, 3 * u)) * 0.05).astype(np.float32)),
+        ),
+        dense_kernel=quantize((rng.standard_normal((u, v)) * 0.05).astype(np.float32), "q8_0"),
+        dense_bias=jnp.zeros((v,)),
+    )
+
+    def timeit(fn, reps=5, rounds=3):
+        float(jnp.sum(fn())); float(jnp.sum(fn()))
+        best = 1e9
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            outs = [fn() for _ in range(reps)]
+            float(sum(jnp.sum(o) for o in outs))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    lines = [
+        "# Performance report",
+        "",
+        f"Device: `{dev}` ({dev.platform}); pipelined timing, best of 3 rounds.",
+        "",
+        "| Config | time/call | throughput | per-step | bound | SoL fraction |",
+        "|---|---|---|---|---|---|",
+    ]
+    steps = 256
+    gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps", "compute_dtype"))
+    for name, batch, fn in [
+        ("GRU q8 scan bf16", 1024,
+         lambda p, l: gen(params, p, l, total_steps=steps, compute_dtype=jnp.bfloat16)),
+        ("GRU q8 fused kernel", 1024,
+         lambda p, l: fused_gru_decode(params, p, l, steps)),
+    ]:
+        prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
+        lengths = jnp.full((batch,), 8, jnp.int32)
+        best = timeit(lambda: fn(prompt, lengths))
+        per_step = best / steps
+        r = gru_decode_roofline(batch, e, u, v, per_step)
+        d = r.as_dict()
+        lines.append(
+            f"| {name} (B={batch}, T={steps}) | {best*1e3:.1f} ms | "
+            f"{batch*steps/best:,.0f} tok/s | {per_step*1e6:.1f} us | "
+            f"{d['bound']} | {d['speed_of_light_fraction']:.2f} |"
+        )
+
+    mv_cfg = MobileViTConfig()
+    mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
+    feat = jax.jit(extract_features, static_argnames=("compute_dtype",))
+    imgs = jnp.asarray(np.stack([synthetic_test_image(256)] * 128))
+    best = timeit(lambda: feat(mv, imgs, compute_dtype=jnp.bfloat16))
+    mv_flops = 128 * 2.0e9
+    lines.append(
+        f"| MobileViT q8 bf16 (B=128) | {best*1e3:.1f} ms | {128/best:,.0f} img/s | "
+        f"{best/128*1e6:.0f} us/img | compute (shape-bound) | "
+        f"{mv_flops/best/1e12/197:.2f} |"
+    )
+    lines.append("")
+    lines.append("SoL fraction = achieved / max-achievable given arithmetic intensity "
+                 "(utils/observability.py; v5e peaks 197 TF bf16, 819 GB/s HBM).")
+    out = "\n".join(lines) + "\n"
+    with open(out_path, "w") as f:
+        f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
