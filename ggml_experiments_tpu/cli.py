@@ -98,7 +98,7 @@ def cmd_features(args) -> int:
         MobileViTConfig, extract_features, load_mobilevit,
     )
 
-    config = MobileViTConfig()
+    config = MobileViTConfig(image_size=args.image_size)
     params = load_mobilevit(
         args.weights, config=config, qtype=args.qtype,
         conv_dtype="float16" if args.f16_convs else None,
@@ -279,6 +279,7 @@ def build_parser() -> argparse.ArgumentParser:
     f = sub.add_parser("features", help="MobileViT feature extraction (reference mobilevit ./main)")
     f.add_argument("--weights", required=True, help="weight.ggml (reference format)")
     f.add_argument("--image", default=None, help="image path (default: synthetic golden image)")
+    f.add_argument("--image-size", type=int, default=256, help="input resolution (reference: 256)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     _add_common(f)
