@@ -139,3 +139,20 @@ def test_classifier_logits_match_tf():
     q4 = from_named_tensors(tensors, cfg, qtype="q4_0")
     rep4 = evaluation.eval_mobilevit_delta(params, q4, np.asarray(img))
     assert rep4.rel_rmse < 1.0               # 4-bit on an untrained tiny net
+
+
+def test_strict_mode_flags_unused(tensors):
+    extra = dict(tensors)
+    extra["tf_mobile_vi_t_model/mobilevit/bogus/kernel:0"] = np.zeros((1, 1), np.float32)
+    with pytest.raises(ValueError, match="unused weights"):
+        from_named_tensors(extra, TINY, strict=True)
+    # non-strict ignores it
+    from_named_tensors(extra, TINY)
+
+
+def test_stem_space_to_depth_loader_flag(tensors, golden):
+    params = from_named_tensors(tensors, TINY, stem_space_to_depth=True)
+    img = jnp.asarray(golden["image"])[None]
+    feats = np.asarray(extract_features(params, img))
+    want = golden["features_chw"].transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(feats, want, rtol=1e-3, atol=2e-4)
