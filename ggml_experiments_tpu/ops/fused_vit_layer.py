@@ -10,9 +10,13 @@ LN -> SiLU MLP -> residual, with the grid iterating sequences.
 Weights are passed per-head stacked (H, C, dh) so no unaligned lane slicing
 happens in-kernel (Mosaic pads the dh lanes physically either way).
 
-Status: correctness-verified against TransformerLayerParams (interpret mode);
-wire-in is gated on beating the XLA path on real hardware — see
-tests/test_fused_vit_layer.py and bench notes.
+Status: correctness-verified against TransformerLayerParams (interpret mode)
+but NOT wired into the model: measured on v5e (S=512, L=256, C=144, bf16,
+pipelined) it runs 9.9 ms/layer vs 8.5 ms for the XLA composable layer —
+Mosaic's codegen for these small per-sequence matmuls does not beat XLA's
+batched einsums, mirroring the fused-GRU-kernel result at small batch.
+Kept as a baseline for future layout experiments (e.g. batching sequences
+per grid step, head-merged score matmuls).
 """
 
 from __future__ import annotations
