@@ -14,6 +14,14 @@ Per-slot prefill is teacher-forcing: while ``pos < prompt_len`` the slot
 consumes prompt tokens, afterwards its own argmax/sample — the same semantics
 as models/gru_textgen.generate, so a continuous-batched request reproduces
 the offline decode exactly (tested in tests/test_serving.py).
+
+Multi-host deployment (>=2 hosts, BASELINE config 5): place params with
+TP/DP shardings over the global mesh (parallel/), run one DecodeEngine per
+process with the *primary* process accepting submissions; refill decisions
+are broadcast (``multihost_utils.broadcast_one_to_all``) so every process
+executes the identical SPMD _reset/_scan sequence, and results materialize
+on the primary. Single-host this reduces to the plain loop (validated here
+on the simulated 8-device mesh; real multi-host needs pod hardware).
 """
 
 from __future__ import annotations
@@ -266,6 +274,18 @@ class DecodeEngine:
             plen[i] = p.size
             tot[i] = p.size + new_req.max_new_tokens
             self._slot_req[i] = new_req
+        # Multi-host SPMD: every process must execute identical _reset/_scan
+        # programs on identical control data. The primary host owns the
+        # request queue; its refill decision arrays are broadcast so follower
+        # hosts mutate their (sharded) slot state in lockstep. Single-host:
+        # broadcast is the identity.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            mask, prompt, plen, tot = multihost_utils.broadcast_one_to_all(
+                (mask, prompt, plen, tot)
+            )
+            mask = np.asarray(mask)
         if mask.any():
             self.state = self._reset(
                 self.state, jnp.asarray(mask), jnp.asarray(prompt), jnp.asarray(plen),
