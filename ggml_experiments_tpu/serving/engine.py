@@ -50,6 +50,7 @@ class SlotState:
     total: jax.Array    # (B,) prompt_len + max_new_tokens
     plen: jax.Array     # (B,) prompt length
     prompt: jax.Array   # (B, Pmax) prompt ids
+    temp: jax.Array     # (B,) per-request temperature; <=0 -> greedy
 
 
 def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotState:
@@ -61,6 +62,7 @@ def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotS
         total=jnp.zeros((n_slots,), jnp.int32),   # total==0 -> slot idle
         plen=jnp.zeros((n_slots,), jnp.int32),
         prompt=jnp.zeros((n_slots, max_prompt), jnp.int32),
+        temp=jnp.zeros((n_slots,), jnp.float32),
     )
 
 
@@ -70,7 +72,7 @@ def _slot_scan(
     rng: jax.Array,
     inner_steps: int,
     compute_dtype=jnp.float32,
-    temperature: float = 0.0,
+    enable_sampling: bool = False,
     top_k=None,
     top_p=None,
 ):
@@ -97,15 +99,20 @@ def _slot_scan(
         h_new = gru_combine(mx, mh, state.h)
         logits = linear(h_new, params.dense_kernel, params.dense_bias,
                         compute_dtype=compute_dtype)
-        if temperature > 0.0:
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if enable_sampling:
             from ggml_experiments_tpu.ops import sampling
 
             key, sub = jax.random.split(key)
-            pred = sampling.sample(
-                logits, sub, temperature=temperature, top_k=top_k, top_p=top_p
-            )
+            scaled = logits / jnp.maximum(state.temp, 1e-6)[:, None]
+            if top_k is not None:
+                scaled = sampling.apply_top_k(scaled, top_k)
+            if top_p is not None:
+                scaled = sampling.apply_top_p(scaled, top_p)
+            sampled = jax.random.categorical(sub, scaled, axis=-1).astype(jnp.int32)
+            pred = jnp.where(state.temp > 0.0, sampled, greedy)
         else:
-            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            pred = greedy
         new = SlotState(
             h=jnp.where(active[:, None], h_new, state.h),
             prev=jnp.where(active, pred, state.prev),
@@ -113,6 +120,7 @@ def _slot_scan(
             total=state.total,
             plen=state.plen,
             prompt=state.prompt,
+            temp=state.temp,
         )
         return (new, key), (tok, active)
 
@@ -120,7 +128,7 @@ def _slot_scan(
     return state, toks.swapaxes(0, 1), valid.swapaxes(0, 1)
 
 
-def _reset_slots(state: SlotState, mask, prompt, plen, total) -> SlotState:
+def _reset_slots(state: SlotState, mask, prompt, plen, total, temp) -> SlotState:
     """Install new requests into masked slots (mask (B,) bool; full-size args)."""
     m1 = mask[:, None]
     return SlotState(
@@ -130,6 +138,7 @@ def _reset_slots(state: SlotState, mask, prompt, plen, total) -> SlotState:
         total=jnp.where(mask, total, state.total),
         plen=jnp.where(mask, plen, state.plen),
         prompt=jnp.where(m1, prompt, state.prompt),
+        temp=jnp.where(mask, temp, state.temp),
     )
 
 
@@ -138,6 +147,7 @@ class Request:
     prompt_ids: np.ndarray
     max_new_tokens: int
     id: int = -1
+    temperature: float = 0.0
     _done: threading.Event = dataclasses.field(default_factory=threading.Event)
     _tokens: List[int] = dataclasses.field(default_factory=list)
 
@@ -178,9 +188,11 @@ class DecodeEngine:
         temperature: float = 0.0,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        enable_sampling: Optional[bool] = None,
         seed: int = 0,
     ):
         self.params = params
+        self.default_temperature = temperature
         self.n_slots = n_slots
         self.max_prompt = max_prompt
         self.inner_steps = inner_steps
@@ -192,7 +204,8 @@ class DecodeEngine:
             functools.partial(
                 _slot_scan,
                 compute_dtype=compute_dtype,
-                temperature=temperature,
+                enable_sampling=enable_sampling if enable_sampling is not None
+                else temperature > 0.0,
                 top_k=top_k,
                 top_p=top_p,
             ),
@@ -209,7 +222,11 @@ class DecodeEngine:
         self.stats = EngineStats()
 
     # -- public API ---------------------------------------------------------
-    def submit(self, prompt_ids, max_new_tokens: int) -> Request:
+    def submit(self, prompt_ids, max_new_tokens: int,
+               temperature: Optional[float] = None) -> Request:
+        """Queue a request. ``temperature`` overrides the engine default for
+        this request (requires the engine to be sampling-enabled: built with
+        temperature > 0 or enable_sampling=True; <= 0 means greedy)."""
         prompt_ids = np.asarray(prompt_ids, np.int32)
         if prompt_ids.ndim != 1 or prompt_ids.size == 0:
             raise ValueError("prompt_ids must be a non-empty 1-D int array")
@@ -220,7 +237,10 @@ class DecodeEngine:
         with self._id_lock:
             req_id = self._next_id
             self._next_id += 1
-        req = Request(prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=req_id)
+        req = Request(
+            prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=req_id,
+            temperature=self.default_temperature if temperature is None else temperature,
+        )
         self._queue.put(req)
         return req
 
@@ -255,6 +275,7 @@ class DecodeEngine:
         prompt = np.zeros((self.n_slots, self.max_prompt), np.int32)
         plen = np.zeros(self.n_slots, np.int32)
         tot = np.zeros(self.n_slots, np.int32)
+        temp = np.zeros(self.n_slots, np.float32)
         for i in range(self.n_slots):
             if not idle[i]:
                 continue
@@ -273,6 +294,7 @@ class DecodeEngine:
             prompt[i, : p.size] = p
             plen[i] = p.size
             tot[i] = p.size + new_req.max_new_tokens
+            temp[i] = new_req.temperature
             self._slot_req[i] = new_req
         # Multi-host SPMD: every process must execute identical _reset/_scan
         # programs on identical control data. The primary host owns the
@@ -282,14 +304,14 @@ class DecodeEngine:
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            mask, prompt, plen, tot = multihost_utils.broadcast_one_to_all(
-                (mask, prompt, plen, tot)
+            mask, prompt, plen, tot, temp = multihost_utils.broadcast_one_to_all(
+                (mask, prompt, plen, tot, temp)
             )
             mask = np.asarray(mask)
         if mask.any():
             self.state = self._reset(
                 self.state, jnp.asarray(mask), jnp.asarray(prompt), jnp.asarray(plen),
-                jnp.asarray(tot),
+                jnp.asarray(tot), jnp.asarray(temp),
             )
         return bool((np.asarray(self.state.pos) < np.asarray(self.state.total)).any())
 
@@ -378,6 +400,7 @@ class DecodeEngine:
             total=flat["state/total"],
             plen=flat["state/plen"],
             prompt=flat["state/prompt"],
+            temp=flat["state/temp"],
         )
         by_slot: Dict[int, Request] = {}
         pending: Dict[int, Request] = {}

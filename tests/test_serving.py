@@ -159,3 +159,18 @@ def test_submit_negative_new_tokens(params):
     eng = DecodeEngine(params, n_slots=1, max_prompt=4)
     with pytest.raises(ValueError, match="max_new_tokens"):
         eng.submit([1], -1)
+
+
+def test_per_request_temperature_mixed(params):
+    """A sampling-enabled engine honors per-request temperature: temp=0
+    requests stay exactly greedy while sampled slots run alongside."""
+    eng = DecodeEngine(
+        params, n_slots=2, max_prompt=8, inner_steps=4, enable_sampling=True, seed=3,
+    )
+    greedy_req = eng.submit([5, 6], 15, temperature=0.0)
+    sampled_req = eng.submit([5, 6], 15, temperature=1.2)
+    eng.run_until_idle(timeout_s=120)
+    greedy_out = greedy_req.result(timeout=1)
+    np.testing.assert_array_equal(greedy_out, offline(params, [5, 6], 17))
+    out = sampled_req.result(timeout=1)
+    assert out.shape == (17,) and (out >= 0).all() and (out < 66).all()
