@@ -244,6 +244,14 @@ class DecodeEngine:
         self._queue.put(req)
         return req
 
+    def active_requests(self) -> List[Request]:
+        """Requests currently occupying decode slots."""
+        return [r for r in self._slot_req.values() if r is not None]
+
+    def pending_count(self) -> int:
+        """Queued requests not yet assigned a slot (approximate under threading)."""
+        return self._queue.qsize()
+
     def start(self):
         if self._thread is None:
             self._stop.clear()

@@ -174,3 +174,17 @@ def test_per_request_temperature_mixed(params):
     np.testing.assert_array_equal(greedy_out, offline(params, [5, 6], 17))
     out = sampled_req.result(timeout=1)
     assert out.shape == (17,) and (out >= 0).all() and (out < 66).all()
+
+
+def test_engine_introspection(params):
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4)
+    r1 = eng.submit([1], 20)
+    r2 = eng.submit([2], 5)
+    assert eng.pending_count() == 2 and eng.active_requests() == []
+    eng._tick()
+    assert len(eng.active_requests()) == 1 and eng.pending_count() == 1
+    eng.run_until_idle()
+    assert eng.active_requests() == [] or all(
+        r._done.is_set() is False for r in eng.active_requests()
+    )
+    r1.result(timeout=1); r2.result(timeout=1)
