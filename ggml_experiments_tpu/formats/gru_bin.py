@@ -79,12 +79,16 @@ def read_tensors_py(path: str) -> List[np.ndarray]:
             out.append(t)
 
 
-def load_gru_params(path: str, *, qtype: Optional[str] = None) -> GRUTextGenParams:
+def load_gru_params(
+    path: str, *, qtype: Optional[str] = None, weights_dtype: Optional[str] = None
+) -> GRUTextGenParams:
     """Load ``gru.bin`` into model params; optionally quantize the big kernels.
 
     ``qtype`` in {None, "q8_0", "q4_0"}: the cell/recurrent/dense kernels are
     block-quantized (weight-only); embeddings and biases stay float32, like
     ggml quantized models keep small tensors in high precision.
+    ``weights_dtype="bfloat16"`` stores *unquantized* kernels in bf16 (half
+    the HBM of f32; ignored for quantized kernels).
     """
     tensors = read_tensors(path)
     if len(tensors) != 6:
@@ -98,7 +102,11 @@ def load_gru_params(path: str, *, qtype: Optional[str] = None) -> GRUTextGenPara
         )
 
     def maybe_q(w):
-        return quantize(w, qtype) if qtype else jnp.asarray(w)
+        if qtype:
+            return quantize(w, qtype)
+        if weights_dtype:
+            return jnp.asarray(w).astype(weights_dtype)
+        return jnp.asarray(w)
 
     return GRUTextGenParams(
         embeddings=jnp.asarray(emb),
