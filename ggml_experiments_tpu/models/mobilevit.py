@@ -185,10 +185,15 @@ _PREFIX = "tf_mobile_vi_t_model/mobilevit"
 
 
 def _np16(arr: np.ndarray, conv_dtype: Optional[str]) -> np.ndarray:
-    """Optionally round conv kernels through f16, mirroring the reference
-    loader's is_f16 policy for names containing 'convolution' (main.cpp:887)."""
+    """Conv-kernel load policies: 'float16' rounds through f16 (the reference
+    loader's policy for names containing 'convolution', main.cpp:887, kept in
+    f32 memory for parity); 'bfloat16' stores bf16 (half the HBM)."""
     if conv_dtype == "float16":
         return arr.astype(np.float16).astype(np.float32)
+    if conv_dtype == "bfloat16":
+        import ml_dtypes
+
+        return arr.astype(ml_dtypes.bfloat16)
     return arr
 
 

@@ -156,3 +156,15 @@ def test_stem_space_to_depth_loader_flag(tensors, golden):
     feats = np.asarray(extract_features(params, img))
     want = golden["features_chw"].transpose(0, 2, 3, 1)
     np.testing.assert_allclose(feats, want, rtol=1e-3, atol=2e-4)
+
+
+def test_bfloat16_conv_storage(tensors, golden):
+    params = from_named_tensors(tensors, TINY, conv_dtype="bfloat16")
+    assert params.conv_stem.kernel.dtype == jnp.bfloat16
+    feats = np.asarray(
+        extract_features(params, jnp.asarray(golden["image"])[None],
+                         compute_dtype=jnp.bfloat16)
+    )
+    want = golden["features_chw"].transpose(0, 2, 3, 1)
+    rel = np.linalg.norm(feats - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
