@@ -30,7 +30,7 @@ import dataclasses
 import queue
 import threading
 import time
-from typing import Dict, List, Optional
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +148,7 @@ class Request:
     max_new_tokens: int
     id: int = -1
     temperature: float = 0.0
+    on_token: Optional[Callable[[int], None]] = None  # streaming callback
     _done: threading.Event = dataclasses.field(default_factory=threading.Event)
     _tokens: List[int] = dataclasses.field(default_factory=list)
 
@@ -223,10 +224,13 @@ class DecodeEngine:
 
     # -- public API ---------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int,
-               temperature: Optional[float] = None) -> Request:
+               temperature: Optional[float] = None,
+               on_token: Optional[Callable[[int], None]] = None) -> Request:
         """Queue a request. ``temperature`` overrides the engine default for
         this request (requires the engine to be sampling-enabled: built with
-        temperature > 0 or enable_sampling=True; <= 0 means greedy)."""
+        temperature > 0 or enable_sampling=True; <= 0 means greedy).
+        ``on_token`` streams each token id as it lands (called from the
+        engine thread — keep it cheap and thread-safe)."""
         prompt_ids = np.asarray(prompt_ids, np.int32)
         if prompt_ids.ndim != 1 or prompt_ids.size == 0:
             raise ValueError("prompt_ids must be a non-empty 1-D int array")
@@ -240,6 +244,7 @@ class DecodeEngine:
         req = Request(
             prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=req_id,
             temperature=self.default_temperature if temperature is None else temperature,
+            on_token=on_token,
         )
         self._queue.put(req)
         return req
@@ -339,8 +344,12 @@ class DecodeEngine:
             if req is None:
                 continue
             n = int(valid[i].sum())
-            req._tokens.extend(int(t) for t in toks[i, :n])
+            new_toks = [int(t) for t in toks[i, :n]]
+            req._tokens.extend(new_toks)
             self.stats.tokens_generated += n
+            if req.on_token is not None:
+                for t in new_toks:
+                    req.on_token(t)
         return True
 
     def _run(self):

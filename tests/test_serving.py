@@ -188,3 +188,12 @@ def test_engine_introspection(params):
         r._done.is_set() is False for r in eng.active_requests()
     )
     r1.result(timeout=1); r2.result(timeout=1)
+
+
+def test_streaming_token_callback(params):
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4)
+    streamed = []
+    req = eng.submit([4, 5], 12, on_token=streamed.append)
+    eng.run_until_idle()
+    final = req.result(timeout=1)
+    np.testing.assert_array_equal(np.asarray(streamed, np.int32), final)
