@@ -214,10 +214,13 @@ def cmd_serve(args) -> int:
             line = sys.stdin.readline()
             if not line or not line.strip("\n"):
                 break
-            req = engine.submit(tok.encode(line.rstrip("\n")[: args.max_prompt]),
-                                args.steps)
-            print(tok.decode(req.result(timeout=600)))
-            print("--------")
+            req = engine.submit(
+                tok.encode(line.rstrip("\n")[: args.max_prompt]),
+                args.steps,
+                on_token=lambda t: print(tok.decode([t]), end="", flush=True),
+            )
+            req.result(timeout=600)  # tokens already streamed above
+            print("\n--------")
         s = engine.stats
         print(
             f"[{s.requests_completed} requests, {s.tokens_generated} tokens, "
