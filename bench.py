@@ -106,30 +106,10 @@ def main():
     )
 
     from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
+    from ggml_experiments_tpu.utils.benchmarking import PROTOCOL, timeit_pipelined
 
     steps = 256
     gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps", "compute_dtype"))
-
-    def run_blocking(fn, *args, **kw):
-        """Force completion with a scalar host read — on the tunneled axon
-        backend, block_until_ready returns before remote execution finishes."""
-        out = fn(*args, **kw)
-        return float(jnp.sum(out))
-
-    def timeit_pipelined(fn, reps=6, rounds=3):
-        """Throughput timing: launch reps async calls, sync once; best of
-        ``rounds``. A single call+sync measures the ~40 ms tunnel round-trip,
-        not chip time, and the first timed round after compile still runs
-        ~2-5x slow (warm-up artifact), so take min across rounds."""
-        run_blocking(fn)  # compile + warm
-        run_blocking(fn)
-        best = float("inf")
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            outs = [fn() for _ in range(reps)]
-            float(sum(jnp.sum(o) for o in outs))
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
 
     def bench_decode(fn, batch, name):
         prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
@@ -186,6 +166,7 @@ def main():
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / baseline, 2),
+        "protocol": PROTOCOL,
     }))
 
 

@@ -201,7 +201,10 @@ def decode(
     kernel (ops/fused_gru_decode — whole token loop on-core, fastest measured
     config at batch >= 512); everything else (sampling, float weights, small
     batches where the scan's XLA program wins) uses :func:`generate`. Both
-    paths produce identical tokens for the greedy case.
+    paths produce identical tokens for the greedy case *at matched
+    compute_dtype* — to that end the fused path's bfloat16 default is applied
+    to the scan path here too (pass ``compute_dtype`` explicitly to override;
+    near-tie argmax steps can differ across dtypes).
     """
     from ggml_experiments_tpu.quant import QTensor
 
@@ -219,4 +222,5 @@ def decode(
             params, prompt_ids, prompt_lengths, total_steps,
             compute_dtype=kw.get("compute_dtype", jnp.bfloat16),
         )
+    kw.setdefault("compute_dtype", jnp.bfloat16)  # match the fused path's default
     return generate(params, prompt_ids, prompt_lengths, total_steps, **kw)

@@ -199,14 +199,16 @@ class DecodeEngine:
         self.inner_steps = inner_steps
         self.state = init_state(params, n_slots, max_prompt)
         self._rng = jax.random.PRNGKey(seed)
+        self.sampling_enabled = (
+            enable_sampling if enable_sampling is not None else temperature > 0.0
+        )
         import functools
 
         self._scan = jax.jit(
             functools.partial(
                 _slot_scan,
                 compute_dtype=compute_dtype,
-                enable_sampling=enable_sampling if enable_sampling is not None
-                else temperature > 0.0,
+                enable_sampling=self.sampling_enabled,
                 top_k=top_k,
                 top_p=top_p,
             ),
@@ -238,13 +240,19 @@ class DecodeEngine:
             raise ValueError(f"prompt longer than max_prompt={self.max_prompt}")
         if max_new_tokens < 0:
             raise ValueError(f"max_new_tokens must be >= 0, got {max_new_tokens}")
+        eff_temp = self.default_temperature if temperature is None else temperature
+        if eff_temp > 0.0 and not self.sampling_enabled:
+            raise ValueError(
+                "temperature > 0 requires a sampling-enabled engine (build with "
+                "temperature > 0 or enable_sampling=True); this engine's compiled "
+                "step is greedy-only"
+            )
         with self._id_lock:
             req_id = self._next_id
             self._next_id += 1
         req = Request(
             prompt_ids=prompt_ids, max_new_tokens=max_new_tokens, id=req_id,
-            temperature=self.default_temperature if temperature is None else temperature,
-            on_token=on_token,
+            temperature=eff_temp, on_token=on_token,
         )
         self._queue.put(req)
         return req
@@ -389,12 +397,17 @@ class DecodeEngine:
                     "max_new": np.int32(req.max_new_tokens),
                     "tokens": np.asarray(req._tokens, np.int32),
                     "id": np.int32(req.id),
+                    "temp": np.float32(req.temperature),
                 }
         tree = {
             "state": self.state,
             "inflight": inflight,
             "pending": {
-                str(i): {"prompt": r.prompt_ids, "max_new": np.int32(r.max_new_tokens)}
+                str(i): {
+                    "prompt": r.prompt_ids,
+                    "max_new": np.int32(r.max_new_tokens),
+                    "temp": np.float32(r.temperature),
+                }
                 for i, r in enumerate(pending)
             },
         }
@@ -429,6 +442,7 @@ class DecodeEngine:
                     prompt_ids=np.asarray(arr, np.int32),
                     max_new_tokens=int(flat[f"inflight/{parts[1]}/max_new"]),
                     id=int(flat[f"inflight/{parts[1]}/id"]),
+                    temperature=float(flat.get(f"inflight/{parts[1]}/temp", 0.0)),
                 )
                 req._tokens = [int(t) for t in np.asarray(flat[f"inflight/{parts[1]}/tokens"])]
                 by_slot[slot] = req
@@ -438,6 +452,7 @@ class DecodeEngine:
                     prompt_ids=np.asarray(arr, np.int32),
                     max_new_tokens=int(flat[f"pending/{parts[1]}/max_new"]),
                     id=eng._next_id + idx,
+                    temperature=float(flat.get(f"pending/{parts[1]}/temp", 0.0)),
                 )
         for slot, req in by_slot.items():
             eng._slot_req[slot] = req

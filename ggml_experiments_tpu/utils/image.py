@@ -74,10 +74,16 @@ def preprocess(
 ) -> np.ndarray:
     """u8 HWC image -> (size, size, 3) float32, reference-equivalent.
 
-    Long side scales to ``size``; the uncovered margin stays zero (the
-    reference resizes into a zeroed canvas); each channel is (v - mean)/std
-    (defaults = the reference's active values; SAM means are commented out
-    there, main.cpp:556-559).
+    Long side scales to ``size``; the uncovered margin stays zero; each
+    channel is (v - mean)/std (defaults = the reference's active values; SAM
+    means are commented out there, main.cpp:556-559).
+
+    Layout note: the reference writes resized rows *packed* at stride
+    ``out_w`` into a ``size``-wide buffer (main.cpp: ``i = 3*(y*nx3+x)+c``),
+    so for portrait inputs (out_w < size) its rows wrap diagonally across the
+    canvas — a reference bug. We deliberately diverge: rows land at their
+    natural (y, x) canvas positions. Byte-for-byte parity with the C++ holds
+    for landscape/square inputs, where the strides coincide.
     """
     h, w, _ = img_u8.shape
     scale = max(h, w) / float(size)

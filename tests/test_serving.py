@@ -75,6 +75,30 @@ def test_submit_validation(params):
         eng.submit([1, 2, 3, 4, 5], 5)
 
 
+def test_submit_temperature_on_greedy_engine_rejected(params):
+    """A greedy-compiled engine must not silently decode a sampled request."""
+    eng = DecodeEngine(params, n_slots=2, max_prompt=4)  # enable_sampling=False
+    with pytest.raises(ValueError, match="sampling-enabled"):
+        eng.submit([1], 5, temperature=0.9)
+    eng.submit([1], 5, temperature=0.0)  # explicit greedy is fine
+
+
+def test_snapshot_preserves_request_temperature(params, tmp_path):
+    """Pending + in-flight request temperatures survive snapshot/restore
+    (a restored sampled request must not silently become greedy)."""
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4,
+                       enable_sampling=True, seed=1)
+    eng.submit([3, 7], 30, temperature=0.7)   # will occupy the single slot
+    eng.submit([5], 10, temperature=1.3)      # stays pending
+    eng._tick()
+    snap = str(tmp_path / "engine.gxt")
+    eng.snapshot(snap)
+
+    eng2 = DecodeEngine.restore(snap, params, inner_steps=4, enable_sampling=True)
+    temps = sorted(r.temperature for r in eng2.restored_requests)
+    assert temps == pytest.approx([0.7, 1.3])
+
+
 def test_result_timeout(params):
     eng = DecodeEngine(params, n_slots=2, max_prompt=8)
     req = eng.submit([1], 5)  # engine never driven

@@ -9,7 +9,6 @@ configurations and renders utils/observability's roofline numbers, so
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -52,20 +51,15 @@ def main(out_path="PERF.md"):
         dense_bias=jnp.zeros((v,)),
     )
 
-    def timeit(fn, reps=5, rounds=3):
-        float(jnp.sum(fn())); float(jnp.sum(fn()))
-        best = 1e9
-        for _ in range(rounds):
-            t0 = time.perf_counter()
-            outs = [fn() for _ in range(reps)]
-            float(sum(jnp.sum(o) for o in outs))
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
+    from ggml_experiments_tpu.utils.benchmarking import PROTOCOL, timeit_pipelined as timeit
 
     lines = [
         "# Performance report",
         "",
-        f"Device: `{dev}` ({dev.platform}); pipelined timing, best of 3 rounds.",
+        f"Device: `{dev}` ({dev.platform}); pinned pipelined protocol rev "
+        f"{PROTOCOL['rev']}: {PROTOCOL['warmup_calls']} warmup, "
+        f"{PROTOCOL['reps_per_round']} reps/round, best of {PROTOCOL['rounds']} rounds "
+        "(utils/benchmarking.py — shared with bench.py).",
         "",
         "| Config | time/call | throughput | per-step | bound | SoL fraction |",
         "|---|---|---|---|---|---|",
