@@ -147,14 +147,18 @@ class MobileViTParams:
 def extract_features(
     params: MobileViTParams, images: jax.Array, *, compute_dtype=jnp.float32
 ) -> jax.Array:
-    """images: (B, H, W, 3) NHWC float32 -> features (B, H/32, W/32, 640).
+    """images: (B, H, W, 3) NHWC float32 -> features (B, H/32, W/32, 640) f32.
 
     The whole of main.cpp:604-646 as one traceable function. ``compute_dtype=
-    jnp.bfloat16`` runs the transformer matmuls single-pass on the MXU (convs
-    already use the MXU's native mixed path).
+    jnp.bfloat16`` runs every matmul/conv single-pass on the MXU *and* stores
+    every intermediate activation in bf16 (f32 accumulation inside each op) —
+    batched inference here is HBM-bandwidth-bound, so activation bytes, not
+    FLOPs, set the throughput ceiling. Output is cast back to f32 (external
+    contract).
     """
     cd = dict(compute_dtype=compute_dtype)
-    x = params.conv_stem(images, **cd)
+    x = images.astype(compute_dtype)
+    x = params.conv_stem(x, **cd)
     for blk in params.layer_1:
         x = blk(x, **cd)
     for blk in params.layer_2:
@@ -162,7 +166,7 @@ def extract_features(
     x = params.layer_3(x, **cd)
     x = params.layer_4(x, **cd)
     x = params.layer_5(x, **cd)
-    return params.conv_1x1_exp(x, **cd)
+    return params.conv_1x1_exp(x, **cd).astype(jnp.float32)
 
 
 def classify(
@@ -174,7 +178,7 @@ def classify(
     feats = extract_features(params, images, compute_dtype=compute_dtype)
     pooled = jnp.mean(feats, axis=(1, 2))
     return linear(pooled, params.classifier_kernel, params.classifier_bias,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -54,16 +54,22 @@ def multi_head_attention(
     precision = (
         jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )
+    # bf16 compute stores the (L, L) score/prob tensors in bf16 too — at
+    # B=128 the L=256 stage's scores are the single largest activation in the
+    # model (B*P*H*L*L), so their storage dtype dominates attention HBM time.
+    # Softmax subtracts the row max, so bf16 range is a non-issue; the
+    # accumulation error over L<=256 terms sits far inside quantization noise.
+    acc = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
     q = _split_heads(linear(x, p.wq, p.bq, **cd), num_heads)  # (..., H, L, dh)
     k = _split_heads(linear(x, p.wk, p.bk, **cd), num_heads)
     v = _split_heads(linear(x, p.wv, p.bv, **cd), num_heads)
     dh = q.shape[-1]
     scores = (
         jnp.einsum("...qd,...kd->...qk", q, k, precision=precision,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=acc)
         / math.sqrt(dh)
     )
-    probs = jax.nn.softmax(scores, axis=-1)
+    probs = jax.nn.softmax(scores, axis=-1).astype(acc)
     ctx = jnp.einsum("...qk,...kd->...qd", probs, v, precision=precision,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=acc)
     return linear(_merge_heads(ctx), p.wo, p.bo, **cd)

@@ -39,8 +39,10 @@ def conv2d(
     """x: (B, H, W, Cin), kernel: (KH, KW, Cin//groups, Cout) -> (B, H', W', Cout).
 
     ``compute_dtype=float32`` forces full-precision MXU passes (on TPU the
-    default conv silently runs one bf16 pass); ``bfloat16`` is the explicit
-    fast path. Accumulation is always f32.
+    default conv silently runs one bf16 pass) with f32 results. ``bfloat16``
+    is the fast path AND the result storage dtype — the MXU accumulates in
+    f32 internally, but the materialized activation is bf16, halving the HBM
+    traffic that bounds batched MobileViT inference (see PERF.md).
     """
     kh, kw = kernel.shape[0], kernel.shape[1]
     if padding is None:
@@ -56,7 +58,7 @@ def conv2d(
         rhs_dilation=(dilation, dilation),
         dimension_numbers=_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else compute_dtype,
         precision=precision,
     )
 
@@ -105,11 +107,11 @@ class SpaceToDepthStem:
             window_strides=(1, 1),
             padding=[(1, 0), (1, 0)],   # original symmetric pad 1 maps to top/left
             dimension_numbers=_DN,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else compute_dtype,
             precision=precision,
         )
         if self.bn is not None:
-            y = y * self.bn.scale + self.bn.bias
+            y = y * self.bn.scale.astype(y.dtype) + self.bn.bias.astype(y.dtype)
         return get_activation(self.activation)(y)
 
 
@@ -163,5 +165,5 @@ class ConvBNAct:
                 compute_dtype=compute_dtype,
             )
         if self.bn is not None:
-            y = y * self.bn.scale + self.bn.bias
+            y = y * self.bn.scale.astype(y.dtype) + self.bn.bias.astype(y.dtype)
         return get_activation(self.activation)(y)

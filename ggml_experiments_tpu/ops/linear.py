@@ -23,8 +23,11 @@ def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
     """``x (..., K) @ w (K, N) -> (..., N)``; QTensor weights use the Pallas kernel.
 
     ``compute_dtype=float32`` means *actual* f32 accuracy (HIGHEST precision —
-    on TPU the MXU otherwise silently drops f32 operands to one bf16 pass);
-    ``bfloat16`` is the explicit single-pass fast path.
+    on TPU the MXU otherwise silently drops f32 operands to one bf16 pass)
+    with f32 results. ``bfloat16`` is the explicit single-pass fast path AND
+    the storage dtype of the result: the MXU still accumulates in f32
+    internally, but the materialized output is bf16 — halving HBM activation
+    traffic, which is what bounds the inference workloads here (see PERF.md).
     """
     if isinstance(w, QTensor):
         return qmatmul(x, w, compute_dtype=compute_dtype)
@@ -34,7 +37,7 @@ def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
     return jnp.dot(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else compute_dtype,
         precision=precision,
     )
 
@@ -48,7 +51,7 @@ def linear(
 ) -> jax.Array:
     y = matmul(x, w, compute_dtype=compute_dtype)
     if b is not None:
-        y = y + b
+        y = y + b.astype(y.dtype)  # keep bf16 results bf16 (bias is stored f32)
     return y
 
 

@@ -20,10 +20,14 @@ import jax.numpy as jnp
 
 
 def layer_norm(x, gamma, beta, *, eps: float = 1e-5, axis: int = -1):
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.var(x, axis=axis, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    return y * gamma + beta
+    """Statistics always in f32 (bf16 mean/var over a 144-640-wide axis loses
+    bits); result is cast back to x.dtype, so bf16 activations stay bf16.
+    The f32 intermediates live only inside the fused elementwise kernel."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axis, keepdims=True)
+    var = jnp.var(x32, axis=axis, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
 
 
 class FoldedBN(NamedTuple):

@@ -193,6 +193,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
         tile_k=tile_k,
         compute_dtype=compute_dtype,
     )
+    if compute_dtype != jnp.float32:
+        out = out.astype(compute_dtype)  # bf16 storage; kernel accumulates f32
     return out.reshape(*batch_shape, n)
 
 
@@ -208,7 +210,7 @@ def _xla_dequant_dot(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) ->
     return jnp.dot(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if compute_dtype == jnp.float32 else compute_dtype,
         precision=precision,
     )
 
