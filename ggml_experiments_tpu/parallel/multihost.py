@@ -14,7 +14,6 @@ multi-host code path is exercised on the simulated multi-device CPU mesh
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -74,13 +73,10 @@ def is_primary() -> bool:
 
 
 def sync_hosts(name: str = "barrier") -> None:
-    """Cross-host barrier via a tiny psum (no-op single-host)."""
+    """Cross-host barrier (no-op single-host): every process blocks until all
+    processes reach the same named point."""
     if jax.process_count() == 1:
         return
-    x = jax.numpy.ones(())
+    from jax.experimental import multihost_utils
 
-    @functools.partial(jax.pmap, axis_name="b")
-    def _psum(v):
-        return jax.lax.psum(v, "b")
-
-    _psum(jax.numpy.broadcast_to(x, (jax.local_device_count(),))).block_until_ready()
+    multihost_utils.sync_global_devices(name)

@@ -69,7 +69,7 @@ def init_state(params: GRUTextGenParams, n_slots: int, max_prompt: int) -> SlotS
 def _slot_scan(
     params: GRUTextGenParams,
     state: SlotState,
-    rng: jax.Array,
+    seed: jax.Array,
     inner_steps: int,
     compute_dtype=jnp.float32,
     enable_sampling: bool = False,
@@ -78,11 +78,17 @@ def _slot_scan(
 ):
     """Advance every slot ``inner_steps`` tokens. Returns (state, toks, valid)
     with toks/valid shaped (B, inner_steps); valid marks tokens belonging to a
-    live request (idle slots churn but their output is masked)."""
+    live request (idle slots churn but their output is masked).
+
+    ``seed`` is a host int32 scalar (tick counter mixed with the engine seed);
+    the PRNG key is derived *inside* the jitted program so the sampling path
+    is SPMD-safe under multi-process execution (an eagerly-split key would be
+    a process-local array, which cannot enter a global computation)."""
 
     from ggml_experiments_tpu.ops.gru import gru_combine, input_projection, recurrent_projection
     from ggml_experiments_tpu.ops.linear import linear
 
+    rng = jax.random.PRNGKey(seed)
     # loop-invariant: per-step x-projection becomes a vocab-table gather
     proj = input_projection(params.cell, params.embeddings, compute_dtype=compute_dtype)
 
@@ -198,11 +204,39 @@ class DecodeEngine:
         self.max_prompt = max_prompt
         self.inner_steps = inner_steps
         self.state = init_state(params, n_slots, max_prompt)
-        self._rng = jax.random.PRNGKey(seed)
+        self._seed = np.int32(seed)
+        self._tick_count = 0
         self.sampling_enabled = (
             enable_sampling if enable_sampling is not None else temperature > 0.0
         )
         import functools
+
+        # Multi-process SPMD: params live on a global mesh spanning all hosts,
+        # so the slot state and every host-produced control array must be
+        # globally (replicated-)placed too — process-local arrays cannot enter
+        # a global computation. Single-process: no-op.
+        self._mesh = None
+        if jax.process_count() > 1:
+            for leaf in jax.tree_util.tree_leaves(params):
+                sharding = getattr(leaf, "sharding", None)
+                if sharding is not None and hasattr(sharding, "mesh"):
+                    self._mesh = sharding.mesh
+                    break
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                repl = NamedSharding(self._mesh, PartitionSpec())
+                self.state = jax.device_put(self.state, repl)
+                # replicate ALL outputs: the host reads pos/total/toks/valid
+                # every tick, which requires fully-replicated arrays
+                out_shardings = (repl, repl, repl)
+            else:  # pragma: no cover - params unplaced in multi-process mode
+                raise ValueError(
+                    "multi-process DecodeEngine requires params placed on a "
+                    "global mesh (parallel.place)"
+                )
+        else:
+            out_shardings = None
 
         self._scan = jax.jit(
             functools.partial(
@@ -214,8 +248,13 @@ class DecodeEngine:
             ),
             static_argnames=("inner_steps",),
             donate_argnames=("state",),
+            out_shardings=out_shardings,
         )
-        self._reset = jax.jit(_reset_slots, donate_argnames=("state",))
+        self._reset = jax.jit(
+            _reset_slots,
+            donate_argnames=("state",),
+            out_shardings=out_shardings[0] if out_shardings else None,
+        )
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
         self._next_id = 0
@@ -330,10 +369,10 @@ class DecodeEngine:
             )
             mask = np.asarray(mask)
         if mask.any():
-            self.state = self._reset(
-                self.state, jnp.asarray(mask), jnp.asarray(prompt), jnp.asarray(plen),
-                jnp.asarray(tot), jnp.asarray(temp),
-            )
+            # numpy inputs enter the jit as uncommitted/replicated values —
+            # valid in multi-process mode because every host computed (via the
+            # broadcast above) the identical arrays.
+            self.state = self._reset(self.state, mask, prompt, plen, tot, temp)
         return bool((np.asarray(self.state.pos) < np.asarray(self.state.total)).any())
 
     def _tick(self) -> bool:
@@ -341,8 +380,10 @@ class DecodeEngine:
         if not busy:
             return False
         t0 = time.perf_counter()
-        self._rng, sub = jax.random.split(self._rng)
-        self.state, toks, valid = self._scan(self.params, self.state, sub, self.inner_steps)
+        # per-tick seed: deterministic, host-computed, identical on all hosts
+        seed = np.int32((int(self._seed) * 1_000_003 + self._tick_count) & 0x7FFFFFFF)
+        self._tick_count += 1
+        self.state, toks, valid = self._scan(self.params, self.state, seed, self.inner_steps)
         toks = np.asarray(toks)
         valid = np.asarray(valid)
         self.stats.wall_time_s += time.perf_counter() - t0

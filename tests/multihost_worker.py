@@ -1,0 +1,143 @@
+"""Worker process for the REAL 2-process multi-host tests.
+
+Launched by tests/test_multihost.py as ``python multihost_worker.py
+<coordinator_port> <process_id> <num_processes> <scenario>``. Each process
+owns 4 virtual CPU devices; ``jax.distributed`` wires them into one 8-device
+global mesh — the same runtime contract as a real TPU pod (SURVEY.md §5
+"Distributed communication backend"), minus ICI.
+
+Scenarios print one JSON line on stdout; the parent asserts the processes
+agree with each other and with a single-process oracle.
+"""
+
+import json
+import os
+import sys
+
+# device/platform setup MUST precede the first jax import. The parent pytest
+# process exports an 8-device flag (tests/conftest.py) — strip it first.
+_flags = [
+    f for f in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in f
+]
+os.environ["XLA_FLAGS"] = " ".join(_flags + ["--xla_force_host_platform_device_count=4"])
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # the axon sitecustomize forces axon,cpu
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    port, pid, nproc, scenario = (
+        int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 4 * nproc
+    assert jax.local_device_count() == 4
+
+    from ggml_experiments_tpu.parallel import make_mesh
+    from ggml_experiments_tpu.parallel.multihost import sync_hosts
+
+    mesh = make_mesh((nproc, 4))  # data axis spans hosts; model axis is host-local
+    out = {"pid": pid, "scenario": scenario}
+
+    if scenario == "train":
+        out.update(run_train(mesh))
+    elif scenario == "serve":
+        out.update(run_serve(mesh))
+    else:
+        raise SystemExit(f"unknown scenario {scenario}")
+
+    sync_hosts()
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+def run_train(mesh):
+    """DP+TP train steps over the global mesh: every host feeds its own batch
+    shard; losses/params are identical everywhere (SPMD lockstep)."""
+    import optax
+    from jax.sharding import PartitionSpec as P
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.parallel.multihost import (
+        global_array_from_host_data, host_local_batch_slice,
+    )
+    from ggml_experiments_tpu.parallel.sharding import gru_param_specs, place
+    from ggml_experiments_tpu.training.gru_trainer import make_train_step
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(0))
+    )
+    params = place(params, gru_param_specs(params), mesh)
+
+    opt = optax.adam(1e-3)
+    opt_state = jax.jit(opt.init)(params)
+    step = make_train_step(opt, mesh)
+
+    rng = np.random.default_rng(42)
+    global_batch, seq = 16, 24
+    losses = []
+    for i in range(3):
+        # identical global data on every host; each host feeds only its slice
+        inputs = rng.integers(0, 66, (global_batch, seq)).astype(np.int32)
+        targets = np.roll(inputs, -1, axis=1)
+        sl = host_local_batch_slice(global_batch)
+        gi = global_array_from_host_data(mesh, P("data"), inputs[sl])
+        gt = global_array_from_host_data(mesh, P("data"), targets[sl])
+        params, opt_state, loss = step(params, opt_state, gi, gt)
+        losses.append(float(loss))
+
+    checksum = float(
+        jax.jit(
+            lambda p: sum(jax.numpy.sum(jax.numpy.abs(x))
+                          for x in jax.tree_util.tree_leaves(p))
+        )(params)
+    )
+    return {"losses": losses, "checksum": checksum}
+
+
+def run_serve(mesh):
+    """Continuous-batching session over the global mesh with the refill
+    broadcast: the primary host owns the queue; follower hosts execute the
+    identical _reset/_scan SPMD programs (serving/engine.py multi-host
+    design). Returns every request's tokens for parity checks."""
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.parallel.multihost import is_primary
+    from ggml_experiments_tpu.parallel.sharding import gru_param_specs, place
+    from ggml_experiments_tpu.serving import DecodeEngine
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    )
+    placed = place(params, gru_param_specs(params), mesh)
+
+    eng = DecodeEngine(placed, n_slots=2, max_prompt=16, inner_steps=4)
+    specs = [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]  # 3 requests, 2 slots
+    handles = []
+    if is_primary():
+        for prompt, new in specs:
+            handles.append(eng.submit(prompt, new))
+    # every host drives the engine loop; follower queues are empty and get
+    # the primary's refill decisions via the broadcast
+    eng.run_until_idle(timeout_s=300)
+    results = {}
+    if is_primary():
+        for (prompt, new), h in zip(specs, handles):
+            results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
+    return {"tokens": results, "device_steps": eng.stats.device_steps}
+
+
+if __name__ == "__main__":
+    main()
