@@ -59,15 +59,27 @@ class MobileViTConfig:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class InvertedResidualParams:
-    """MobileNetV2 block: expand 1x1 -> depthwise 3x3 (stride s) -> reduce 1x1."""
+    """MobileNetV2 block: expand 1x1 -> depthwise 3x3 (stride s) -> reduce 1x1.
+
+    ``fused=True`` + bf16 compute runs the whole chain as ONE Pallas kernel
+    (ops/fused_inverted_residual) — the 4x-expanded activation never touches
+    HBM. f32 compute always takes the unfused XLA path (parity oracle).
+    """
 
     expand_1x1: ConvBNAct
     conv_3x3: ConvBNAct
     reduce_1x1: ConvBNAct
     use_residual: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    fused: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
         cd = dict(compute_dtype=compute_dtype)
+        if self.fused and compute_dtype == jnp.bfloat16:
+            from ggml_experiments_tpu.ops.fused_inverted_residual import (
+                inverted_residual_fused,
+            )
+
+            return inverted_residual_fused(self, x, compute_dtype=compute_dtype)
         y = self.reduce_1x1(self.conv_3x3(self.expand_1x1(x, **cd), **cd), **cd)
         return x + y if self.use_residual else y
 
@@ -265,12 +277,14 @@ def _inverted_residual(
     out_ch: int,
     stride: int,
     conv_dtype: Optional[str],
+    fused: bool = False,
 ) -> InvertedResidualParams:
     return InvertedResidualParams(
         expand_1x1=_conv(tm, f"{path}/expand_1x1", conv_dtype=conv_dtype),
         conv_3x3=_conv(tm, f"{path}/conv_3x3", stride=stride, depthwise=True, conv_dtype=conv_dtype),
         reduce_1x1=_conv(tm, f"{path}/reduce_1x1", activation=None, conv_dtype=conv_dtype),
         use_residual=(stride == 1 and in_ch == out_ch),
+        fused=fused,
     )
 
 
@@ -315,6 +329,7 @@ def _vit_block(
     config: MobileViTConfig,
     conv_dtype: Optional[str],
     qtype: Optional[str],
+    fused_ir: bool = False,
 ) -> MobileViTBlockParams:
     eps = config.layer_norm_eps
     return MobileViTBlockParams(
@@ -328,6 +343,7 @@ def _vit_block(
                 tm, f"{path}/downsampling_layer/reduce_1x1", activation=None, conv_dtype=conv_dtype
             ),
             use_residual=False,
+            fused=fused_ir,
         ),
         conv_kxk=_conv(tm, f"{path}/conv_kxk", conv_dtype=conv_dtype),
         conv_1x1=_conv(tm, f"{path}/conv_1x1", use_bn=False, activation=None, conv_dtype=conv_dtype),
@@ -354,12 +370,15 @@ def from_named_tensors(
     qtype: Optional[str] = None,
     strict: bool = False,
     stem_space_to_depth: bool = False,
+    fused_ir: bool = False,
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
     The name wiring mirrors load_model_v2 (main.cpp:314-515). ``conv_dtype=
     'float16'`` replicates the reference's f16-conv load policy; ``qtype``
-    block-quantizes every transformer dense kernel.
+    block-quantizes every transformer dense kernel; ``fused_ir`` runs every
+    inverted-residual block through the fused Pallas kernel in bf16 mode
+    (ops/fused_inverted_residual — the serving configuration).
 
     The root name prefix is auto-detected: TFMobileViTModel exports under
     ``tf_mobile_vi_t_model/mobilevit/...`` (the reference's converter) while
@@ -381,7 +400,7 @@ def from_named_tensors(
             blocks.append(
                 _inverted_residual(
                     tm, f"{enc}/layer.{idx}/layer.{i}", in_ch, out_ch,
-                    stride if i == 0 else 1, conv_dtype,
+                    stride if i == 0 else 1, conv_dtype, fused=fused_ir,
                 )
             )
             in_ch = out_ch
@@ -393,15 +412,15 @@ def from_named_tensors(
         layer_2=mobile_net_layer(1, neck[1], neck[2], 2, 3),
         layer_3=_vit_block(
             tm, f"{enc}/layer.2", neck[2], neck[3], config.num_transformer_layers[0],
-            config, conv_dtype, qtype,
+            config, conv_dtype, qtype, fused_ir,
         ),
         layer_4=_vit_block(
             tm, f"{enc}/layer.3", neck[3], neck[4], config.num_transformer_layers[1],
-            config, conv_dtype, qtype,
+            config, conv_dtype, qtype, fused_ir,
         ),
         layer_5=_vit_block(
             tm, f"{enc}/layer.4", neck[4], neck[5], config.num_transformer_layers[2],
-            config, conv_dtype, qtype,
+            config, conv_dtype, qtype, fused_ir,
         ),
         conv_1x1_exp=_conv(tm, f"{prefix}/conv_1x1_exp", conv_dtype=conv_dtype),
     )

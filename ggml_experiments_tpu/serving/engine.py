@@ -131,7 +131,13 @@ def _slot_scan(
         return (new, key), (tok, active)
 
     (state, _), (toks, valid) = jax.lax.scan(one, (state, rng), None, length=inner_steps)
-    return state, toks.swapaxes(0, 1), valid.swapaxes(0, 1)
+    toks = toks.swapaxes(0, 1)
+    if params.vocab_size <= 255:
+        # tokens go BACK to the host every tick — at 1024 slots the readback
+        # is the serving bottleneck on links slower than PCIe, so ship the
+        # smallest element type that fits the vocab (4x less wire traffic)
+        toks = toks.astype(jnp.uint8)
+    return state, toks, valid.swapaxes(0, 1)
 
 
 def _reset_slots(state: SlotState, mask, prompt, plen, total, temp) -> SlotState:
@@ -197,6 +203,7 @@ class DecodeEngine:
         top_p: Optional[float] = None,
         enable_sampling: Optional[bool] = None,
         seed: int = 0,
+        fetch_depth: int = 2,
     ):
         self.params = params
         self.default_temperature = temperature
@@ -262,6 +269,23 @@ class DecodeEngine:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = EngineStats()
+        # Host-side shadow of the deterministic slot cursors: pos advances by
+        # exactly min(inner_steps, total - pos) per scan and total only
+        # changes at _reset, so refill decisions need NO device read — the
+        # per-tick host<->device sync that would otherwise bound serving
+        # throughput at large slot counts disappears entirely.
+        self._pos = np.zeros(n_slots, np.int64)
+        self._total = np.zeros(n_slots, np.int64)
+        # Deferred token fetches: scans keep dispatching while up to
+        # ``fetch_depth`` ticks of tokens are still in flight to the host
+        # (copy_to_host_async), so readback bandwidth overlaps device compute
+        # instead of serializing with it. Streaming callbacks see tokens with
+        # up to fetch_depth ticks of latency; drain/snapshot flush everything.
+        # Entries: (toks_device_array, [(slot, request, n_new), ...]).
+        from collections import deque
+
+        self.fetch_depth = max(1, int(fetch_depth))
+        self._pending_fetch = deque()
 
     # -- public API ---------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int,
@@ -315,6 +339,7 @@ class DecodeEngine:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        self._flush_pending()  # tokens of scans dispatched before the stop
 
     def run_until_idle(self, timeout_s: float = 120.0):
         """Synchronous drive: process queued requests until all complete."""
@@ -326,25 +351,45 @@ class DecodeEngine:
         raise TimeoutError("engine did not drain in time")
 
     # -- engine internals ---------------------------------------------------
+    def _flush_one(self) -> None:
+        """Distribute the OLDEST deferred tick's tokens to their requests —
+        the only host<->device sync in the loop, overlapping newer scans.
+        A request completes (``_done``) HERE, once its final tokens landed —
+        never at slot eviction, which may run ticks ahead of the fetches."""
+        toks_dev, targets = self._pending_fetch.popleft()
+        toks = np.asarray(toks_dev)
+        for slot, req, n in targets:
+            new_toks = [int(t) for t in toks[slot, :n]]
+            req._tokens.extend(new_toks)
+            self.stats.tokens_generated += n
+            if req.on_token is not None:
+                for t in new_toks:
+                    req.on_token(t)
+            if len(req._tokens) >= req.prompt_ids.size + req.max_new_tokens:
+                req._done.set()
+
+    def _flush_pending(self) -> None:
+        """Flush every in-flight token fetch (drain / snapshot / eviction)."""
+        while self._pending_fetch:
+            self._flush_one()
+
     def _refill(self) -> bool:
-        """Install queued requests into idle slots. Returns True if any live slot."""
-        pos = np.asarray(self.state.pos)
-        total = np.asarray(self.state.total)
-        idle = pos >= total
+        """Evict finished requests, install queued ones into idle slots.
+        Decisions come from the host-side pos/total shadow — zero device
+        reads. Returns True if any live slot remains."""
+        idle = self._pos >= self._total
         mask = np.zeros(self.n_slots, bool)
         prompt = np.zeros((self.n_slots, self.max_prompt), np.int32)
         plen = np.zeros(self.n_slots, np.int32)
         tot = np.zeros(self.n_slots, np.int32)
         temp = np.zeros(self.n_slots, np.float32)
-        for i in range(self.n_slots):
-            if not idle[i]:
-                continue
-            # evict finished request
+        for i in np.nonzero(idle)[0]:
+            # evict finished request; its _done fires from the token flush
+            # (possibly ticks later), so eviction never races the fetches
             req = self._slot_req[i]
-            if req is not None and total[i] > 0:
+            if req is not None and self._total[i] > 0:
                 self._slot_req[i] = None
                 self.stats.requests_completed += 1
-                req._done.set()
             try:
                 new_req = self._queue.get_nowait()
             except queue.Empty:
@@ -367,38 +412,44 @@ class DecodeEngine:
             mask, prompt, plen, tot, temp = multihost_utils.broadcast_one_to_all(
                 (mask, prompt, plen, tot, temp)
             )
-            mask = np.asarray(mask)
+            mask, plen, tot = np.asarray(mask), np.asarray(plen), np.asarray(tot)
         if mask.any():
             # numpy inputs enter the jit as uncommitted/replicated values —
             # valid in multi-process mode because every host computed (via the
             # broadcast above) the identical arrays.
             self.state = self._reset(self.state, mask, prompt, plen, tot, temp)
-        return bool((np.asarray(self.state.pos) < np.asarray(self.state.total)).any())
+            self._pos[mask] = 0
+            self._total[mask] = tot[mask]
+        return bool((self._pos < self._total).any())
 
     def _tick(self) -> bool:
+        t0 = time.perf_counter()
+        while len(self._pending_fetch) >= self.fetch_depth:
+            self._flush_one()  # waits on an OLD scan -> device time lands here
         busy = self._refill()
         if not busy:
+            self._flush_pending()
             return False
-        t0 = time.perf_counter()
         # per-tick seed: deterministic, host-computed, identical on all hosts
         seed = np.int32((int(self._seed) * 1_000_003 + self._tick_count) & 0x7FFFFFFF)
         self._tick_count += 1
-        self.state, toks, valid = self._scan(self.params, self.state, seed, self.inner_steps)
-        toks = np.asarray(toks)
-        valid = np.asarray(valid)
+        self.state, toks, _valid = self._scan(self.params, self.state, seed, self.inner_steps)
+        try:
+            toks.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copies
+            pass
+        # token counts are deterministic: shadow the cursor advance instead of
+        # reading _valid back (it stays on device, unused by the host path)
+        n_new = np.minimum(self._total - self._pos, self.inner_steps)
+        targets = [
+            (i, req, int(n_new[i]))
+            for i, req in self._slot_req.items()
+            if req is not None and n_new[i] > 0
+        ]
+        self._pos = np.minimum(self._pos + self.inner_steps, self._total)
+        self._pending_fetch.append((toks, targets))
         self.stats.wall_time_s += time.perf_counter() - t0
         self.stats.device_steps += 1
-        for i in range(self.n_slots):
-            req = self._slot_req[i]
-            if req is None:
-                continue
-            n = int(valid[i].sum())
-            new_toks = [int(t) for t in toks[i, :n]]
-            req._tokens.extend(new_toks)
-            self.stats.tokens_generated += n
-            if req.on_token is not None:
-                for t in new_toks:
-                    req.on_token(t)
         return True
 
     def _run(self):
@@ -421,6 +472,9 @@ class DecodeEngine:
         """
         from ggml_experiments_tpu.formats import checkpoint
 
+        # the last dispatched scan's tokens must land in the requests before
+        # their progress is captured (the device state already includes them)
+        self._flush_pending()
         pending = []
         while True:
             try:
@@ -473,6 +527,8 @@ class DecodeEngine:
             prompt=flat["state/prompt"],
             temp=flat["state/temp"],
         )
+        eng._pos = np.asarray(flat["state/pos"]).astype(np.int64)
+        eng._total = np.asarray(flat["state/total"]).astype(np.int64)
         by_slot: Dict[int, Request] = {}
         pending: Dict[int, Request] = {}
         for key, arr in flat.items():

@@ -168,3 +168,36 @@ def test_bfloat16_conv_storage(tensors, golden):
     want = golden["features_chw"].transpose(0, 2, 3, 1)
     rel = np.linalg.norm(feats - want) / np.linalg.norm(want)
     assert rel < 0.05, rel
+
+
+def test_full_config_features_match_tf():
+    """FULL-size config (256px, hidden 144/192/240, layers 2/4/3) vs the TF
+    oracle — the real apple/mobilevit-small wiring, random seeded weights.
+    Weights regenerate from random_named_tensors(seed=11) (assigned into the
+    TF model by tools/make_goldens.py make_mobilevit_full), so only the
+    features npz is committed. Closes the tiny-config-only golden gap."""
+    from ggml_experiments_tpu.models.mobilevit import random_named_tensors
+
+    gold = np.load(os.path.join(GOLD, "mobilevit_full.npz"))
+    cfg = MobileViTConfig()
+    params = from_named_tensors(random_named_tensors(cfg, seed=int(gold["seed"])), cfg)
+    img = jnp.asarray(synthetic_test_image(256))[None]
+    feats = np.asarray(extract_features(params, img))          # (1, 8, 8, 640)
+    want = gold["features_chw"].transpose(0, 2, 3, 1)          # NCHW -> NHWC
+    assert feats.shape == want.shape == (1, 8, 8, 640)
+    np.testing.assert_allclose(feats, want, rtol=2e-3, atol=5e-4)
+
+
+def test_full_config_quantized_delta():
+    """Q8_0 on the full config stays within the BASELINE Δ contract shape
+    (rel-RMSE tight; exactness is checked on trained weights elsewhere)."""
+    from ggml_experiments_tpu.models.mobilevit import random_named_tensors
+
+    gold = np.load(os.path.join(GOLD, "mobilevit_full.npz"))
+    cfg = MobileViTConfig()
+    tensors = random_named_tensors(cfg, seed=int(gold["seed"]))
+    img = jnp.asarray(synthetic_test_image(256))[None]
+    base = np.asarray(extract_features(from_named_tensors(tensors, cfg), img))
+    q8 = np.asarray(extract_features(from_named_tensors(tensors, cfg, qtype="q8_0"), img))
+    rel = np.linalg.norm(q8 - base) / np.linalg.norm(base)
+    assert rel < 0.02, rel

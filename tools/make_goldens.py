@@ -143,6 +143,41 @@ def make_mobilevit():
     )
 
 
+def make_mobilevit_full():
+    """FULL-size-config TF parity oracle (256px, hidden 144/192/240, layers
+    2/4/3 — the real apple/mobilevit-small architecture, random weights).
+
+    Closes the tiny-config-only golden gap: the full wiring (strides, stage
+    depths, head splits at hidden 144/192/240) is checked against TF, not
+    just against itself. Instead of committing ~22 MB of weights, the seeded
+    ``random_named_tensors`` map is assigned INTO the TF model, so the test
+    regenerates identical weights and only the features npz is committed.
+    """
+    from transformers import MobileViTConfig, TFMobileViTModel
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig as OurConfig, random_named_tensors,
+    )
+    from ggml_experiments_tpu.utils.image import synthetic_test_image
+
+    cfg = MobileViTConfig()  # defaults ARE apple/mobilevit-small (main.cpp:35-53)
+    model = TFMobileViTModel(cfg, name="tf_mobile_vi_t_model")
+    img = synthetic_test_image(256)
+    model(pixel_values=img.transpose(2, 0, 1)[None], training=False)  # build
+
+    tensors = random_named_tensors(OurConfig(), seed=11)
+    missing = [w.name for w in model.weights if w.name not in tensors]
+    assert not missing, f"random_named_tensors lacks: {missing[:5]}"
+    for w in model.weights:
+        w.assign(tensors[w.name])
+
+    feats = model(pixel_values=img.transpose(2, 0, 1)[None], training=False)
+    feats = feats.last_hidden_state.numpy()
+    print("mobilevit_full features:", feats.shape, feats[0, :3, 0, 0])
+    np.savez(os.path.join(OUT, "mobilevit_full.npz"), features_chw=feats,
+             seed=np.int32(11))
+
+
 def make_mobilevit_classifier():
     """Tiny TFMobileViTForImageClassification oracle (BASELINE config 3)."""
     from transformers import MobileViTConfig, TFMobileViTForImageClassification
@@ -199,6 +234,8 @@ if __name__ == "__main__":
         make_gru()
     if which in ("all", "mobilevit"):
         make_mobilevit()
+    if which in ("all", "mobilevit_full"):
+        make_mobilevit_full()
     if which in ("all", "classifier"):
         make_mobilevit_classifier()
     print("done")
