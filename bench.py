@@ -141,7 +141,26 @@ def main():
     tokens_per_s = max(results.values())
     log(f"headline config: {max(results, key=results.get)}")
 
-    # secondary: MobileViT q8_0 images/s
+    # q4_0: weight-bandwidth halves again vs q8_0 (VERDICT r1 item 6)
+    try:
+        params4 = gru_textgen.GRUTextGenParams(
+            embeddings=params.embeddings,
+            cell=GRUCellParams(
+                kernel=quantize(weights[1], "q4_0"),
+                recurrent_kernel=quantize(weights[2], "q4_0"),
+                bias=params.cell.bias,
+            ),
+            dense_kernel=quantize(weights[4], "q4_0"),
+            dense_bias=params.dense_bias,
+        )
+        bench_decode(
+            lambda p, l, b: gen(params4, p, l, total_steps=steps,
+                                compute_dtype=jnp.bfloat16),
+            decode_batch, "q4_0 scan bf16")
+    except Exception as ex:
+        log(f"q4_0 decode skipped: {type(ex).__name__}: {ex}")
+
+    # secondary: MobileViT q8_0 images/s (plain XLA + fused-inverted-residual)
     try:
         from ggml_experiments_tpu.models.mobilevit import (
             MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
@@ -149,17 +168,41 @@ def main():
         from ggml_experiments_tpu.utils.image import synthetic_test_image
 
         mv_cfg = MobileViTConfig()
-        mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
+        named = random_named_tensors(mv_cfg)
         feat_fn = jax.jit(extract_features, static_argnames=("compute_dtype",))
-        for mb in (32, 128) if on_tpu else (2,):
-            images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
-            best = timeit_pipelined(
-                lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
-            )
-            log(f"TPU q8_0 MobileViT bf16: batch={mb} {best*1e3:.1f}ms/call -> "
-                f"{mb/best:,.1f} images/s/chip")
+        variants = [("", dict(qtype="q8_0"))]
+        if on_tpu:
+            variants.append(("+fused-ir", dict(qtype="q8_0", fused_ir=True)))
+        for tag, kw in variants:
+            mv = from_named_tensors(named, mv_cfg, **kw)
+            for mb in (32, 128) if on_tpu else (2,):
+                images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
+                best = timeit_pipelined(
+                    lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
+                )
+                log(f"TPU q8_0{tag} MobileViT bf16: batch={mb} {best*1e3:.1f}ms/call -> "
+                    f"{mb/best:,.1f} images/s/chip")
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
+
+    # secondary: continuous-batching serving, end-to-end wall (submit->drain)
+    try:
+        if on_tpu:
+            from ggml_experiments_tpu.serving import DecodeEngine
+
+            eng = DecodeEngine(params, n_slots=1024, max_prompt=16, inner_steps=128,
+                               compute_dtype=jnp.bfloat16, fetch_depth=8)
+            for i in range(2048):
+                eng.submit(rng.integers(0, v, 8).astype(np.int32), 292)
+            t0 = time.perf_counter()
+            eng.run_until_idle(timeout_s=1200)
+            wall = time.perf_counter() - t0
+            log(f"TPU q8_0 serving (1024 slots, inner 128): "
+                f"{eng.stats.tokens_generated:,} tokens end-to-end {wall:.2f}s -> "
+                f"{eng.stats.tokens_generated/wall:,.0f} tokens/s/chip "
+                f"(incl host queueing + token readback)")
+    except Exception as ex:
+        log(f"serving bench skipped: {type(ex).__name__}: {ex}")
 
     print(json.dumps({
         "metric": "gru_q8_0_decode_throughput",

@@ -241,13 +241,23 @@ def cmd_eval(args) -> int:
 
     qtype = args.qtype or "q8_0"
     rng = np.random.default_rng(args.seed)
-    if args.weights.endswith(".bin"):
-        from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+    if args.weights.endswith((".bin", ".gxt")):
+        from ggml_experiments_tpu.formats.gru_bin import load_gru_any
 
-        ref = load_gru_params(args.weights)
-        q = load_gru_params(args.weights, qtype=qtype)
+        ref = load_gru_any(args.weights)
+        q = load_gru_any(args.weights, qtype=qtype)
         v = ref.embeddings.shape[0]
-        seqs = rng.integers(0, v, (args.batch, args.length + 1)).astype(np.int32)
+        if getattr(args, "corpus", None):
+            # held-out text: Δtop-1/Δppl on REAL next-token distributions
+            # (the BASELINE contract is only meaningful on trained weights)
+            from ggml_experiments_tpu.training.data import DataConfig, load_corpus, make_examples
+            from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+            ex = make_examples(load_corpus(args.corpus), CharTokenizer(),
+                               DataConfig(seq_length=args.length))
+            seqs = ex[rng.permutation(len(ex))[: args.batch]]
+        else:
+            seqs = rng.integers(0, v, (args.batch, args.length + 1)).astype(np.int32)
         rep = evaluation.eval_gru_delta(ref, q, seqs)
     else:
         from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
@@ -312,9 +322,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_serve)
 
     e = sub.add_parser("eval", help="quantization-delta report (logits/top-1/ppl vs fp32)")
-    e.add_argument("--weights", required=True, help="gru.bin or weight.ggml")
+    e.add_argument("--weights", required=True, help="gru.bin, .gxt or weight.ggml")
     e.add_argument("--batch", type=int, default=8)
     e.add_argument("--length", type=int, default=64, help="sequence length (GRU eval)")
+    e.add_argument("--corpus", default=None,
+                   help="held-out text for GRU eval (default: random token seqs)")
     e.add_argument("--seed", type=int, default=0)
     _add_common(e)
     e.set_defaults(fn=cmd_eval)

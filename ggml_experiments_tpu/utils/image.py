@@ -97,10 +97,29 @@ def preprocess(
 
 def load_image(path: str) -> np.ndarray:
     """Decode an image file to u8 RGB HWC (stb_image / sam_image_load_from_file
-    equivalent, main.cpp:517-535)."""
-    from PIL import Image
+    equivalent, main.cpp:517-535).
 
-    with Image.open(path) as im:
+    Dependency-free first: the native PNG/PPM/BMP decoders (image_codecs.py —
+    this framework's stb_image counterpart) handle the common formats with
+    stdlib zlib + numpy only; PIL is an optional fallback for anything else
+    (JPEG, interlaced PNG, ...)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        from ggml_experiments_tpu.utils import image_codecs
+
+        return image_codecs.decode(data)
+    except ValueError:
+        pass
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as ex:  # pragma: no cover
+        raise ValueError(
+            f"{path}: not natively decodable (PNG/PPM/BMP) and PIL unavailable"
+        ) from ex
+    with Image.open(io.BytesIO(data)) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 

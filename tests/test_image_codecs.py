@@ -1,0 +1,83 @@
+"""Native PNG/PPM/BMP decoders vs the PIL oracle (stb_image parity layer)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from ggml_experiments_tpu.utils import image_codecs
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _rand_img(rng, h, w, smooth=False):
+    if smooth:  # gradients exercise Sub/Avg/Paeth filter selection
+        y = np.linspace(0, 255, h, dtype=np.float32)[:, None, None]
+        x = np.linspace(0, 200, w, dtype=np.float32)[None, :, None]
+        c = np.arange(3, dtype=np.float32)[None, None, :] * 20
+        return ((y + x + c) % 256).astype(np.uint8)
+    return rng.integers(0, 256, (h, w, 3), np.uint8)
+
+
+@pytest.mark.parametrize("smooth", [False, True])
+@pytest.mark.parametrize("size", [(16, 16), (23, 41)])
+def test_png_rgb_roundtrip(rng, smooth, size):
+    img = _rand_img(rng, *size, smooth=smooth)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    got = image_codecs.decode(buf.getvalue())
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_rgba_and_gray(rng):
+    rgb = _rand_img(rng, 20, 17)
+    rgba = np.dstack([rgb, rng.integers(0, 256, (20, 17), np.uint8)])
+    buf = io.BytesIO()
+    Image.fromarray(rgba, "RGBA").save(buf, format="PNG")
+    np.testing.assert_array_equal(image_codecs.decode(buf.getvalue()), rgb)
+
+    gray = rng.integers(0, 256, (9, 13), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, format="PNG")
+    got = image_codecs.decode(buf.getvalue())
+    np.testing.assert_array_equal(got, np.repeat(gray[..., None], 3, axis=-1))
+
+
+def test_png_palette(rng):
+    img = _rand_img(rng, 12, 12)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("P", palette=Image.ADAPTIVE).save(buf, format="PNG")
+    want = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+    np.testing.assert_array_equal(image_codecs.decode(buf.getvalue()), want)
+
+
+def test_ppm_p6_and_p3(rng):
+    img = _rand_img(rng, 10, 14)
+    p6 = b"P6\n# comment\n14 10\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(image_codecs.decode(p6), img)
+    p3 = (b"P3\n14 10\n255\n"
+          + " ".join(str(v) for v in img.reshape(-1)).encode())
+    np.testing.assert_array_equal(image_codecs.decode(p3), img)
+
+
+def test_bmp(rng):
+    img = _rand_img(rng, 15, 11)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="BMP")
+    np.testing.assert_array_equal(image_codecs.decode(buf.getvalue()), img)
+
+
+def test_load_image_uses_native_path(rng, tmp_path):
+    from ggml_experiments_tpu.utils.image import load_image
+
+    img = _rand_img(rng, 32, 24, smooth=True)
+    p = os.path.join(tmp_path, "x.png")
+    Image.fromarray(img).save(p)
+    np.testing.assert_array_equal(load_image(p), img)
+
+
+def test_unknown_format_raises():
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_codecs.decode(b"GARBAGE NOT AN IMAGE")
