@@ -30,7 +30,7 @@ from ggml_experiments_tpu.models.gru_textgen import GRUTextGenParams
 from ggml_experiments_tpu.models.mobilevit import MobileViTParams
 from ggml_experiments_tpu.ops.attention import AttentionParams
 from ggml_experiments_tpu.ops.gru import GRUCellParams
-from ggml_experiments_tpu.quant.qtensor import QTensor
+from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor
 from ggml_experiments_tpu.parallel.mesh import MODEL_AXIS
 
 
@@ -45,17 +45,38 @@ def spec_like(tree: Any, spec_tree: Any):
 
 
 def qtensor_sharding(mesh: Mesh, qt: QTensor, spec: P) -> QTensor:
-    """Place a QTensor's codes+scales with a (sanitized) partition spec.
+    """Place a QTensor's codes+scales with a partition spec.
 
-    Block quantization ties K-tiles to scale rows (one scale row per 32 K
-    rows), so the K dim of a QTensor cannot shard at arbitrary granularity —
-    a row-parallel request P('model', None) is rewritten to column-parallel
-    P(None, 'model') (the N dim is lane-padded to 128 and always divides).
-    XLA re-inserts the corresponding collective; semantics are unchanged.
+    Row-parallel (P('model', None)) shards the K dim. Block quantization
+    ties K-tiles to scale rows (one scale row per 32 K rows), so it is only
+    legal when every shard holds whole 32-row blocks: Kp % (32 * n_shards)
+    == 0 — true for all this repo's row-parallel weights (e.g. the 1024-K
+    vocab head on 2/4/8-way meshes). Q4_0 nibble-packs two K rows per codes
+    row, so its codes shard at Kp/2 granularity (consistent: 32*n | Kp
+    implies 16*n | Kp/2). When the divisibility fails, fall back to
+    column-parallel P(None, 'model') (the N dim is lane-padded to 128 and
+    always divides); XLA re-inserts the matching collective either way.
     """
     axes = [a for a in spec if a is not None] if spec else []
-    spec = P(None, axes[0]) if axes else P()
-    ns = NamedSharding(mesh, spec)
+    if not axes:
+        row = col = None
+    else:
+        row, col = (spec + (None, None))[:2]
+
+    def _axis_size(name) -> int:
+        names = (name,) if isinstance(name, str) else tuple(name)
+        n = 1
+        for a in names:
+            n *= mesh.shape[a]
+        return n
+
+    if row is not None and qt.kp % (BLOCK * _axis_size(row)) == 0:
+        eff = P(row, col)
+    elif axes:
+        eff = P(None, axes[0])  # sanitize to column-parallel
+    else:
+        eff = P()
+    ns = NamedSharding(mesh, eff)
     return QTensor(
         codes=jax.device_put(qt.codes, ns),
         scales=jax.device_put(qt.scales, ns),

@@ -190,3 +190,42 @@ def test_mobilevit_tp_quantized_sharded(mesh):
     img = jnp.asarray(np.load(os.path.join(gold_dir, "mobilevit_tiny.npz"))["image"])[None]
     got = np.asarray(jax.jit(extract_features)(placed, img))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_qtensor_row_parallel_honored(mesh):
+    """A legal row-parallel request (Kp divisible by 32*n_shards) shards the
+    K dim for real — the Megatron pairing for the vocab head — and still
+    computes the right numbers. An indivisible K falls back to column."""
+    from ggml_experiments_tpu.parallel.sharding import qtensor_sharding
+
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((1024, 66)).astype(np.float32) * 0.1
+    qt = quant.quantize(w, "q8_0")
+    qt_sh = qtensor_sharding(mesh, qt, P(MODEL_AXIS, None))
+    assert qt_sh.codes.sharding.spec == P(MODEL_AXIS, None)
+    assert qt_sh.scales.sharding.spec == P(MODEL_AXIS, None)
+    x = jnp.asarray(rng.standard_normal((8, 1024)).astype(np.float32))
+    ref = np.asarray(quant.qmatmul(x, qt))
+    got = np.asarray(quant.qmatmul(jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), qt_sh))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # K=32 over a 4-way model axis -> 8 rows/shard, partial blocks: sanitize
+    qt_small = quant.quantize(rng.standard_normal((32, 66)).astype(np.float32), "q8_0")
+    qt_small_sh = qtensor_sharding(mesh, qt_small, P(MODEL_AXIS, None))
+    assert qt_small_sh.codes.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_qtensor_row_parallel_q4(mesh):
+    """Q4_0 nibble-packed codes (Kp/2 rows) shard consistently with scales."""
+    from ggml_experiments_tpu.parallel.sharding import qtensor_sharding
+
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((512, 128)).astype(np.float32) * 0.1
+    qt = quant.quantize(w, "q4_0")
+    qt_sh = qtensor_sharding(mesh, qt, P(MODEL_AXIS, None))
+    assert qt_sh.codes.sharding.spec == P(MODEL_AXIS, None)
+    x = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(quant.qmatmul(x, qt_sh)), np.asarray(quant.qmatmul(x, qt)),
+        rtol=1e-5, atol=1e-5,
+    )
