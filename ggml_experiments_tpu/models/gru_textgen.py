@@ -197,14 +197,21 @@ def decode(
 ) -> jax.Array:
     """Decode with automatic path selection.
 
-    Greedy + Q8_0 weights + large batch routes to the persistent fused Pallas
-    kernel (ops/fused_gru_decode — whole token loop on-core, fastest measured
-    config at batch >= 512); everything else (sampling, float weights, small
-    batches where the scan's XLA program wins) uses :func:`generate`. Both
-    paths produce identical tokens for the greedy case *at matched
-    compute_dtype* — to that end the fused path's bfloat16 default is applied
-    to the scan path here too (pass ``compute_dtype`` explicitly to override;
-    near-tie argmax steps can differ across dtypes).
+    Greedy + Q8_0 weights + large batch + long decode routes to the
+    persistent fused Pallas kernel (ops/fused_gru_decode — whole token loop
+    on-core); everything else uses :func:`generate`. Both paths produce
+    identical tokens for the greedy case *at matched compute_dtype* — to
+    that end the fused path's bfloat16 default is applied to the scan path
+    here too (pass ``compute_dtype`` explicitly to override; near-tie argmax
+    steps can differ across dtypes).
+
+    Dispatch thresholds are measured (v5e, pinned protocol rev 3): at
+    B=1024/T=256 the fused kernel runs 56.6us/step vs the scan's 79.7
+    (18.1M vs 12.8M tok/s/chip), but it pays a fixed in-kernel setup
+    (weights dequantized HBM->VMEM once per call) that a 64-step decode
+    does not amortize (189us/step there, losing to the scan's 159), and at
+    B<=512 its transposed dot_generals lower poorly in Mosaic. Hence:
+    fused iff B >= 512 AND total_steps >= 128.
     """
     from ggml_experiments_tpu.quant import QTensor
 
@@ -215,7 +222,7 @@ def decode(
         and isinstance(params.dense_kernel, QTensor)
         and params.cell.kernel.qtype == "q8_0"
     )
-    if greedy and q8 and prompt_ids.shape[0] >= 512:
+    if greedy and q8 and prompt_ids.shape[0] >= 512 and total_steps >= 128:
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 
         return fused_gru_decode(

@@ -74,7 +74,10 @@ class InvertedResidualParams:
 
     def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
         cd = dict(compute_dtype=compute_dtype)
-        if self.fused and compute_dtype == jnp.bfloat16:
+        # stride-2 blocks stay on XLA: Mosaic rejects the kernel's strided
+        # depthwise taps (sublane-strided slices), and the downsamplers'
+        # traffic is a small fraction of the stride-1 stages'
+        if self.fused and compute_dtype == jnp.bfloat16 and self.conv_3x3.stride == 1:
             from ggml_experiments_tpu.ops.fused_inverted_residual import (
                 inverted_residual_fused,
             )

@@ -21,9 +21,12 @@ largest, 128x128x128 expanded at G=2, is ~8 MB). Per grid step:
   3. reduce: (G*Ho*Wo, E) x (E, Cout) on the MXU, + folded BN bias,
      + the residual skip (still resident in VMEM) when in==out && stride 1.
 
-Stride-2 blocks subsample the depthwise taps (leading-dim/sublane strided
-slices). BN folding happens at trace time from the ConvBNAct params —
-weights are tiny, XLA hoists the folds out of the per-call path.
+Stride-2 support exists in the kernel (strided tap slices) and is exact in
+interpret mode, but Mosaic currently rejects the sublane-strided slices on
+real TPU — the model dispatch (models/mobilevit.InvertedResidualParams)
+therefore routes only stride-1 blocks here and leaves the downsamplers on
+XLA. BN folding happens at trace time from the ConvBNAct params — weights
+are tiny, XLA hoists the folds out of the per-call path.
 """
 
 from __future__ import annotations

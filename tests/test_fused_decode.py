@@ -66,9 +66,10 @@ def test_decode_facade_routes(qparams):
     a = gru_textgen.decode(qparams, prompt, lengths, 10, compute_dtype=jnp.float32)
     b = gru_textgen.generate(qparams, prompt, lengths, 10, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    # large batch greedy q8 -> fused path, still identical in f32
+    # large batch + long decode, greedy q8 -> fused path, still identical in
+    # f32 (the 128-step threshold amortizes the kernel's VMEM weight setup)
     big_p = jnp.zeros((512, 3), jnp.int32)
     big_l = jnp.full((512,), 3, jnp.int32)
-    c = gru_textgen.decode(qparams, big_p, big_l, 8, compute_dtype=jnp.float32)
-    d = gru_textgen.generate(qparams, big_p, big_l, 8, compute_dtype=jnp.float32)
+    c = gru_textgen.decode(qparams, big_p, big_l, 128, compute_dtype=jnp.float32)
+    d = gru_textgen.generate(qparams, big_p, big_l, 128, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
