@@ -147,6 +147,25 @@ def bilinear_resize_u8(img: np.ndarray, out_h: int, out_w: int, scale: float):
     return out
 
 
+def png_unfilter(raw: np.ndarray, filters: np.ndarray, bpp: int):
+    """Native PNG scanline unfilter: raw (H, stride) filtered bytes +
+    per-row filter types -> reconstructed bytes. None if lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, np.uint8)
+    filters = np.ascontiguousarray(filters, np.uint8)
+    h, stride = raw.shape
+    out = np.empty((h, stride), np.uint8)
+    rc = lib.png_unfilter(
+        _ptr(raw), ctypes.c_int64(h), ctypes.c_int64(stride), ctypes.c_int64(bpp),
+        _ptr(filters), _ptr(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"png_unfilter failed rc={rc} (bad filter byte?)")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Format parsers (index natively, bulk-read payloads with numpy)
 # ---------------------------------------------------------------------------

@@ -272,6 +272,62 @@ int bilinear_resize_u8(const uint8_t* img, int64_t h, int64_t w, int64_t c,
     return GXT_OK;
 }
 
+// ---------------------------------------------------------------------------
+// PNG scanline unfilter (the hot loop of utils/image_codecs.decode_png —
+// Sub/Avg/Paeth carry a per-pixel dependency that is slow in Python)
+// ---------------------------------------------------------------------------
+
+// raw: h rows of `stride` filtered bytes (filter bytes already stripped),
+// filters: h filter-type bytes, out: h*stride reconstructed bytes.
+int png_unfilter(const uint8_t* raw, int64_t h, int64_t stride, int64_t bpp,
+                 const uint8_t* filters, uint8_t* out) {
+    if (!raw || !filters || !out || h <= 0 || stride <= 0 || bpp <= 0)
+        return GXT_ERR_ARG;
+    for (int64_t y = 0; y < h; y++) {
+        const uint8_t* r = raw + y * stride;
+        const uint8_t* up = y ? out + (y - 1) * stride : nullptr;
+        uint8_t* o = out + y * stride;
+        switch (filters[y]) {
+            case 0:  // None
+                memcpy(o, r, (size_t)stride);
+                break;
+            case 1:  // Sub
+                for (int64_t x = 0; x < stride; x++)
+                    o[x] = (uint8_t)(r[x] + (x >= bpp ? o[x - bpp] : 0));
+                break;
+            case 2:  // Up
+                if (up)
+                    for (int64_t x = 0; x < stride; x++) o[x] = (uint8_t)(r[x] + up[x]);
+                else
+                    memcpy(o, r, (size_t)stride);
+                break;
+            case 3:  // Average
+                for (int64_t x = 0; x < stride; x++) {
+                    const int a = x >= bpp ? o[x - bpp] : 0;
+                    const int b = up ? up[x] : 0;
+                    o[x] = (uint8_t)(r[x] + ((a + b) >> 1));
+                }
+                break;
+            case 4:  // Paeth
+                for (int64_t x = 0; x < stride; x++) {
+                    const int a = x >= bpp ? o[x - bpp] : 0;
+                    const int b = up ? up[x] : 0;
+                    const int c = (up && x >= bpp) ? up[x - bpp] : 0;
+                    const int p = a + b - c;
+                    const int pa = p > a ? p - a : a - p;
+                    const int pb = p > b ? p - b : b - p;
+                    const int pc = p > c ? p - c : c - p;
+                    const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                    o[x] = (uint8_t)(r[x] + pred);
+                }
+                break;
+            default:
+                return GXT_ERR_FORMAT;
+        }
+    }
+    return GXT_OK;
+}
+
 int gxt_abi_version(void) { return 1; }
 
 }  // extern "C"

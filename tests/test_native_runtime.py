@@ -84,3 +84,17 @@ def test_native_bilinear_matches_numpy(rng):
         # numpy; exact-.5 ties may land one code apart (<0.1% of pixels)
         assert diff.max() <= 1 and (diff != 0).mean() < 1e-3, (
             diff.max(), (diff != 0).mean())
+
+
+def test_native_png_unfilter_matches_python(rng):
+    """All five filter types, random data: native == pure-python reference."""
+    from ggml_experiments_tpu import runtime
+    from ggml_experiments_tpu.utils.image_codecs import _png_unfilter
+
+    h, stride, bpp = 37, 61 * 3, 3
+    raw = rng.integers(0, 256, (h, stride), np.uint8)
+    filters = rng.integers(0, 5, h, np.uint8)
+    want = _png_unfilter(raw.astype(np.int32), filters, bpp)
+    got = runtime.png_unfilter(raw, filters, bpp)
+    assert got is not None
+    np.testing.assert_array_equal(got, want)
