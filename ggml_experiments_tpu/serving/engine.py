@@ -163,9 +163,24 @@ class Request:
     on_token: Optional[Callable[[int], None]] = None  # streaming callback
     _done: threading.Event = dataclasses.field(default_factory=threading.Event)
     _tokens: List[int] = dataclasses.field(default_factory=list)
+    _canceled: bool = False
+
+    def cancel(self) -> None:
+        """Stop generating for this request. Queued requests never start;
+        in-flight slots are freed (and their device state cleared) at the
+        engine's next refill. Tokens still in flight when the cancel lands
+        are dropped; ``result()`` returns the partial sequence delivered so
+        far."""
+        self._canceled = True
+        self._done.set()
+
+    @property
+    def canceled(self) -> bool:
+        return self._canceled
 
     def result(self, timeout: Optional[float] = None) -> np.ndarray:
-        """Block until finished; returns all tokens (prompt + generated)."""
+        """Block until finished (or canceled); returns the tokens produced
+        (prompt echo + generated; partial if canceled)."""
         if not self._done.wait(timeout):
             raise TimeoutError(f"request {self.id} not finished")
         return np.asarray(self._tokens, np.int32)
@@ -204,6 +219,7 @@ class DecodeEngine:
         enable_sampling: Optional[bool] = None,
         seed: int = 0,
         fetch_depth: int = 2,
+        max_pending: Optional[int] = None,
     ):
         self.params = params
         self.default_temperature = temperature
@@ -262,6 +278,7 @@ class DecodeEngine:
             donate_argnames=("state",),
             out_shardings=out_shardings[0] if out_shardings else None,
         )
+        self.max_pending = max_pending  # submit() backpressure threshold
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
         self._next_id = 0
@@ -309,6 +326,11 @@ class DecodeEngine:
                 "temperature > 0 requires a sampling-enabled engine (build with "
                 "temperature > 0 or enable_sampling=True); this engine's compiled "
                 "step is greedy-only"
+            )
+        if self.max_pending is not None and self._queue.qsize() >= self.max_pending:
+            raise RuntimeError(
+                f"engine backpressure: {self._queue.qsize()} requests already "
+                f"queued (max_pending={self.max_pending})"
             )
         with self._id_lock:
             req_id = self._next_id
@@ -359,6 +381,8 @@ class DecodeEngine:
         toks_dev, targets = self._pending_fetch.popleft()
         toks = np.asarray(toks_dev)
         for slot, req, n in targets:
+            if req._canceled:
+                continue
             new_toks = [int(t) for t in toks[slot, :n]]
             req._tokens.extend(new_toks)
             self.stats.tokens_generated += n
@@ -374,9 +398,14 @@ class DecodeEngine:
             self._flush_one()
 
     def _refill(self) -> bool:
-        """Evict finished requests, install queued ones into idle slots.
-        Decisions come from the host-side pos/total shadow — zero device
-        reads. Returns True if any live slot remains."""
+        """Evict finished/canceled requests, install queued ones into idle
+        slots. Decisions come from the host-side pos/total shadow — zero
+        device reads. Returns True if any live slot remains."""
+        for i, req in self._slot_req.items():
+            if req is not None and req._canceled:
+                # free the slot now; the reset below (mask, tot=0) clears the
+                # device state so the slot stops consuming compute
+                self._total[i] = self._pos[i]
         idle = self._pos >= self._total
         mask = np.zeros(self.n_slots, bool)
         prompt = np.zeros((self.n_slots, self.max_prompt), np.int32)
@@ -387,12 +416,19 @@ class DecodeEngine:
             # evict finished request; its _done fires from the token flush
             # (possibly ticks later), so eviction never races the fetches
             req = self._slot_req[i]
-            if req is not None and self._total[i] > 0:
+            if req is not None:
                 self._slot_req[i] = None
                 self.stats.requests_completed += 1
-            try:
-                new_req = self._queue.get_nowait()
-            except queue.Empty:
+                if req._canceled:
+                    mask[i] = True  # tot stays 0: clears the device slot
+            new_req = None
+            while new_req is None or new_req._canceled:
+                try:
+                    new_req = self._queue.get_nowait()
+                except queue.Empty:
+                    new_req = None
+                    break
+            if new_req is None:
                 continue
             mask[i] = True
             p = new_req.prompt_ids

@@ -221,3 +221,42 @@ def test_streaming_token_callback(params):
     eng.run_until_idle()
     final = req.result(timeout=1)
     np.testing.assert_array_equal(np.asarray(streamed, np.int32), final)
+
+
+def test_cancel_pending_request(params):
+    """A canceled queued request never starts; others are unaffected."""
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4)
+    first = eng.submit([1, 2], 40)      # occupies the only slot
+    doomed = eng.submit([3], 40)        # queued
+    third = eng.submit([4], 10)         # queued behind it
+    eng._tick()
+    doomed.cancel()
+    eng.run_until_idle(timeout_s=120)
+    np.testing.assert_array_equal(first.result(timeout=1), offline(params, [1, 2], 42))
+    np.testing.assert_array_equal(third.result(timeout=1), offline(params, [4], 11))
+    assert doomed.canceled
+    assert doomed.result(timeout=1).size == 0  # never produced anything
+
+
+def test_cancel_inflight_request_frees_slot(params):
+    """Cancel mid-decode: partial tokens returned, slot reused for the next
+    request with correct output."""
+    eng = DecodeEngine(params, n_slots=1, max_prompt=8, inner_steps=4, fetch_depth=1)
+    big = eng.submit([5], 10_000)       # would hog the slot ~forever
+    nxt = eng.submit([6], 12)
+    for _ in range(3):
+        eng._tick()
+    big.cancel()
+    eng.run_until_idle(timeout_s=120)
+    part = big.result(timeout=1)
+    assert 0 < part.size < 10_001
+    np.testing.assert_array_equal(part, offline(params, [5], 10_000)[: part.size])
+    np.testing.assert_array_equal(nxt.result(timeout=1), offline(params, [6], 13))
+
+
+def test_submit_backpressure(params):
+    eng = DecodeEngine(params, n_slots=1, max_prompt=4, max_pending=2)
+    eng.submit([1], 5)  # goes... still queued (engine not driven)
+    eng.submit([2], 5)
+    with pytest.raises(RuntimeError, match="backpressure"):
+        eng.submit([3], 5)
