@@ -179,15 +179,20 @@ def cmd_train_gru(args) -> int:
         model_config=GRUConfig(embed_dim=args.embed_dim, units=args.units),
         train_config=TrainConfig(
             epochs=args.epochs, checkpoint_path=args.checkpoint,
-            log_every=args.log_every,
+            log_every=args.log_every, eval_every=args.eval_every,
         ),
         data_config=DataConfig(seq_length=args.seq_length, batch_size=args.batch_size),
         seed=args.seed,
+        eval_text=load_corpus(args.eval_corpus) if args.eval_corpus else None,
     )
     if args.output:
         save_gru_params(args.output, params)
         print(f"exported weights to {args.output} (reference gru.bin format)")
-    print(json.dumps({"final_loss": history[-1]["loss"], "steps": history[-1]["step"]}))
+    summary = {"final_loss": history[-1]["loss"], "steps": history[-1]["step"]}
+    val = [h["val_ppl"] for h in history if "val_ppl" in h]
+    if val:
+        summary["final_val_ppl"] = val[-1]
+    print(json.dumps(summary))
     return 0
 
 
@@ -342,6 +347,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--checkpoint", default=None, help="best-by-loss .gxt path")
     t.add_argument("--output", default=None, help="export final weights as gru.bin")
+    t.add_argument("--eval-corpus", default=None, help="held-out text for val ppl")
+    t.add_argument("--eval-every", type=int, default=0,
+                   help="validation ppl every N steps (needs --eval-corpus)")
     _add_common(t)
     t.set_defaults(fn=cmd_train_gru)
     return ap

@@ -32,6 +32,7 @@ class TrainConfig:
     log_every: int = 50
     checkpoint_path: Optional[str] = None
     remat: bool = False           # jax.checkpoint the cell (long sequences)
+    eval_every: int = 0           # >0: held-out ppl every N steps (needs eval data)
 
 
 def sparse_softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
@@ -85,12 +86,17 @@ def train(
     *,
     mesh=None,
     log: Callable[[dict], None] = None,
+    eval_seqs=None,
 ) -> Tuple[GRUTextGenParams, list]:
     """Run the training loop over an iterable of (inputs, targets) batches.
 
     Returns (params, history). With ``cfg.checkpoint_path``, keeps the
     best-by-loss native checkpoint (formats/checkpoint.py), mirroring the
     reference's ModelCheckpoint(save_best_only, monitor='loss').
+
+    ``eval_seqs`` ((B, T+1) int32 held-out windows) + ``cfg.eval_every`` add
+    a validation perplexity to the history every N steps — the Keras
+    validation_data analog the reference's script lacks.
     """
     optimizer = optax.adam(cfg.learning_rate)
     if mesh is not None:
@@ -106,6 +112,22 @@ def train(
 
     from ggml_experiments_tpu.training.prefetch import prefetch_to_device
 
+    eval_fn = None
+    if cfg.eval_every and eval_seqs is not None:
+        import numpy as _np
+
+        ev = jnp.asarray(_np.asarray(eval_seqs, _np.int32))
+        ev_in, ev_tg = ev[:, :-1], ev[:, 1:]
+
+        @jax.jit
+        def _val_ppl(p):
+            logits, _ = gru_textgen.forward_sequence(p, ev_in)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, ev_tg[..., None], axis=-1)[..., 0]
+            return jnp.exp(nll.mean())
+
+        eval_fn = _val_ppl
+
     sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS)) if mesh is not None else None
     history = []
     t0 = time.time()
@@ -115,6 +137,8 @@ def train(
         if i % cfg.log_every == 0 or manager is not None:
             loss_val = float(loss)
             rec = {"step": i, "loss": loss_val, "elapsed_s": time.time() - t0}
+            if eval_fn is not None and i % cfg.eval_every == 0:
+                rec["val_ppl"] = float(eval_fn(params))
             history.append(rec)
             if log is not None and i % cfg.log_every == 0:
                 log(rec)
@@ -131,9 +155,12 @@ def train_from_text(
     data_config=None,
     seed: int = 0,
     mesh=None,
+    eval_text: Optional[str] = None,
+    max_eval_windows: int = 32,
 ):
     """End-to-end: corpus text -> trained params (the reference script's
-    top-to-bottom flow, rnn_text_generation.py)."""
+    top-to-bottom flow, rnn_text_generation.py). ``eval_text`` + a positive
+    ``train_config.eval_every`` add held-out validation perplexity."""
     from ggml_experiments_tpu.training.data import DataConfig, batches as make_batches, make_examples
     from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
 
@@ -142,5 +169,8 @@ def train_from_text(
     examples = make_examples(text, tok, data_config)
     params = gru_textgen.init_params(model_config, jax.random.PRNGKey(seed))
     stream = make_batches(examples, data_config, seed=seed, epochs=train_config.epochs)
-    params, history = train(params, stream, train_config, mesh=mesh)
+    eval_seqs = None
+    if eval_text is not None:
+        eval_seqs = make_examples(eval_text, tok, data_config)[:max_eval_windows]
+    params, history = train(params, stream, train_config, mesh=mesh, eval_seqs=eval_seqs)
     return params, history, tok

@@ -7,7 +7,7 @@ import pytest
 from ggml_experiments_tpu.formats.checkpoint import load_into
 from ggml_experiments_tpu.models import gru_textgen
 from ggml_experiments_tpu.models.gru_textgen import GRUConfig
-from ggml_experiments_tpu.training import TrainConfig, train
+from ggml_experiments_tpu.training import TrainConfig, train, train_from_text
 from ggml_experiments_tpu.training.data import DataConfig, batches, make_examples, synthetic_corpus
 from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
 
@@ -106,3 +106,21 @@ def test_prefetch_to_device_order_and_errors():
     with pytest.raises(RuntimeError, match="producer failed"):
         for _ in it:
             pass
+
+
+def test_validation_ppl_during_training():
+    """eval_every + eval_text add held-out perplexity to the history and it
+    improves as training progresses (Keras validation_data analog)."""
+    from ggml_experiments_tpu.training.data import synthetic_corpus
+
+    params, history, _ = train_from_text(
+        synthetic_corpus(6000, seed=0),
+        model_config=GRUConfig(vocab_size=66, embed_dim=8, units=16),
+        train_config=TrainConfig(epochs=8, log_every=5, eval_every=5),
+        data_config=DataConfig(seq_length=20, batch_size=8),
+        eval_text=synthetic_corpus(1500, seed=1),
+    )
+    val = [h["val_ppl"] for h in history if "val_ppl" in h]
+    assert len(val) >= 2
+    assert all(np.isfinite(v) and v > 1.0 for v in val)
+    assert val[-1] < val[0], val
