@@ -32,18 +32,23 @@ def log(msg):
 # CPU baseline: reference-style batch-1 greedy decode, single thread, numpy
 # ---------------------------------------------------------------------------
 
-def cpu_baseline_tokens_per_s(weights, steps=200):
+def cpu_baseline_tokens_per_s(weights, steps=200, batch=1):
+    """Reference-style greedy decode loop in numpy, single thread.
+
+    batch=1 is the faithful reference workload (rnn_text_generation.cpp runs
+    ggml with n_threads=1, batch 1); larger ``batch`` gives the matched-batch
+    CPU number so the TPU speedup can also be read at equal batch size."""
     emb, kernel, rec_kernel, bias, dense_k, dense_b = weights
     u = rec_kernel.shape[0]
-    h = np.zeros((1, u), np.float32)
-    tok = 0
+    h = np.zeros((batch, u), np.float32)
+    tok = np.zeros(batch, np.int64)
 
     def sigmoid(v):
         return 1.0 / (1.0 + np.exp(-v))
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        x = emb[None, tok]
+        x = emb[tok]
         mx = x @ kernel + bias[0]
         mh = h @ rec_kernel + bias[1]
         z = sigmoid(mx[:, :u] + mh[:, :u])
@@ -51,9 +56,9 @@ def cpu_baseline_tokens_per_s(weights, steps=200):
         hh = np.tanh(mx[:, 2*u:] + r * mh[:, 2*u:])
         h = z * h + (1 - z) * hh
         logits = h @ dense_k + dense_b
-        tok = int(np.argmax(logits[0]))
+        tok = np.argmax(logits, axis=1)
     dt = time.perf_counter() - t0
-    return steps / dt
+    return batch * steps / dt
 
 
 def main():
@@ -93,6 +98,13 @@ def main():
 
     baseline = cpu_baseline_tokens_per_s(weights, steps=200)
     log(f"cpu single-thread batch-1 baseline: {baseline:,.0f} tokens/s")
+    # matched-batch CPU number (VERDICT r1 weak #8): same B=1024 the TPU
+    # headline uses, still single-thread numpy — the honest same-workload
+    # comparison alongside the reference-faithful batch-1 loop above
+    matched_batch = 1024 if on_tpu else 16
+    baseline_matched = cpu_baseline_tokens_per_s(weights, steps=3, batch=matched_batch)
+    log(f"cpu single-thread batch-{matched_batch} baseline: "
+        f"{baseline_matched:,.0f} tokens/s")
 
     params = gru_textgen.GRUTextGenParams(
         embeddings=jnp.asarray(weights[0]),
@@ -208,6 +220,7 @@ def main():
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(tokens_per_s / baseline, 2),
+        "vs_baseline_matched_batch": round(tokens_per_s / baseline_matched, 2),
         "protocol": PROTOCOL,
     }))
 

@@ -514,15 +514,17 @@ class DecodeEngine:
         pending = []
         while True:
             try:
-                pending.append(self._queue.get_nowait())
+                req = self._queue.get_nowait()
             except queue.Empty:
                 break
+            if not req._canceled:
+                pending.append(req)
         for req in pending:  # re-queue locally; snapshot keeps a copy
             self._queue.put(req)
 
         inflight = {}
         for slot, req in self._slot_req.items():
-            if req is not None:
+            if req is not None and not req._canceled:
                 inflight[str(slot)] = {
                     "prompt": req.prompt_ids,
                     "max_new": np.int32(req.max_new_tokens),
