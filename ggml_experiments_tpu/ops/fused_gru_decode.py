@@ -32,15 +32,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor
+from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
 from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 
 NEG = -1e30
 
 
-def _dequant_to(codes, scales, out_ref, dtype):
-    kp, n = codes.shape
-    w = codes.astype(jnp.float32)
+def _dequant_to(codes, scales, out_ref, dtype, qtype):
+    w = unpack_q4(codes) if qtype == "q4_0" else codes.astype(jnp.float32)
+    kp, n = w.shape
     w = (w.reshape(kp // BLOCK, BLOCK, n) * scales[:, None, :]).reshape(kp, n)
     out_ref[:] = w.astype(dtype)
 
@@ -64,11 +64,12 @@ def _kernel(
     units: int,
     total_steps: int,
     compute_dtype,
+    qtype: str,
 ):
     cd = compute_dtype
-    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd)
-    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd)
-    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd)
+    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
     emb_bf[:] = emb_ref[:].astype(cd)
     h_ref[:] = jnp.zeros_like(h_ref)
     prev_ref[:] = jnp.zeros_like(prev_ref)
@@ -131,19 +132,20 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("units", "total_steps", "compute_dtype_name")
+    jax.jit, static_argnames=("units", "total_steps", "compute_dtype_name", "qtype")
 )
 def _fused_decode_jit(
     emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
-    *, units: int, total_steps: int, compute_dtype_name: str,
+    *, units: int, total_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
 ):
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    kdiv = 2 if qtype == "q4_0" else 1  # q4 codes nibble-pack two K rows/row
     tp, b = prompt.shape
     vp, ke = emb.shape
     g = wc.shape[1]
-    ku = uc.shape[0]  # K-padded state width (>= units)
+    ku = uc.shape[0] * kdiv  # K-padded state width (>= units)
     kernel = functools.partial(
-        _kernel, units=units, total_steps=total_steps, compute_dtype=cd
+        _kernel, units=units, total_steps=total_steps, compute_dtype=cd, qtype=qtype
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     toks, h_out = pl.pallas_call(
@@ -187,17 +189,23 @@ def fused_gru_decode(
     models/gru_textgen.generate(temperature=0): returns (B, total_steps)
     tokens (prompt prefix + generated continuation).
 
-    Requires Q8_0-quantized cell/dense kernels (the serving configuration).
+    Requires Q8_0- or Q4_0-quantized cell/dense kernels (the serving
+    configurations); all three weight matrices must share one qtype. Q4_0
+    nibbles are unpacked once during the kernel's VMEM weight setup, so the
+    per-step loop is identical to Q8_0's.
     """
     cell = params.cell
     if not (
         isinstance(cell.kernel, QTensor)
         and isinstance(cell.recurrent_kernel, QTensor)
         and isinstance(params.dense_kernel, QTensor)
-        and cell.kernel.qtype == "q8_0"
+        and cell.kernel.qtype in ("q8_0", "q4_0")
+        and cell.recurrent_kernel.qtype == cell.kernel.qtype
+        and params.dense_kernel.qtype == cell.kernel.qtype
     ):
-        raise ValueError("fused_gru_decode requires q8_0-quantized GRU params "
-                         "(load with qtype='q8_0')")
+        raise ValueError("fused_gru_decode requires q8_0- or q4_0-quantized GRU "
+                         "params with one qtype (load with qtype='q8_0'/'q4_0')")
+    qtype = cell.kernel.qtype
     v, e = params.embeddings.shape
     u = cell.recurrent_kernel.shape[0]
     g = 3 * u
@@ -238,5 +246,6 @@ def fused_gru_decode(
         units=u,
         total_steps=total_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+        qtype=qtype,
     )
     return toks[:total_steps, :b].swapaxes(0, 1)

@@ -1,11 +1,14 @@
 """Persistent fused decode kernel vs the composable scan decoder (interpret mode)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from ggml_experiments_tpu import quant
 from ggml_experiments_tpu.formats.gru_bin import load_gru_params
 from ggml_experiments_tpu.models import gru_textgen
+from ggml_experiments_tpu.models.gru_textgen import GRUConfig
 from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 
 import os
@@ -73,3 +76,43 @@ def test_decode_facade_routes(qparams):
     c = gru_textgen.decode(qparams, big_p, big_l, 128, compute_dtype=jnp.float32)
     d = gru_textgen.generate(qparams, big_p, big_l, 128, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_fused_q4_matches_scan(rng):
+    """Q4_0 weights run the persistent kernel too (nibbles unpacked during
+    VMEM setup); tokens match the scan decode exactly at matched dtype."""
+    cfg = GRUConfig(vocab_size=66, embed_dim=32, units=64)
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(11))
+    q4 = gru_textgen.GRUTextGenParams(
+        embeddings=fp.embeddings,
+        cell=type(fp.cell)(
+            kernel=quant.quantize(np.asarray(fp.cell.kernel), "q4_0"),
+            recurrent_kernel=quant.quantize(np.asarray(fp.cell.recurrent_kernel), "q4_0"),
+            bias=fp.cell.bias,
+        ),
+        dense_kernel=quant.quantize(np.asarray(fp.dense_kernel), "q4_0"),
+        dense_bias=fp.dense_bias,
+    )
+    prompt = jnp.asarray(rng.integers(0, 66, (4, 5)), jnp.int32)
+    lengths = jnp.full((4,), 5, jnp.int32)
+    a = np.asarray(fused_gru_decode(q4, prompt, lengths, 40, compute_dtype=jnp.float32))
+    b = np.asarray(gru_textgen.generate(q4, prompt, lengths, 40, compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_rejects_mixed_qtypes(rng):
+    cfg = GRUConfig(vocab_size=66, embed_dim=32, units=64)
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(12))
+    mixed = gru_textgen.GRUTextGenParams(
+        embeddings=fp.embeddings,
+        cell=type(fp.cell)(
+            kernel=quant.quantize(np.asarray(fp.cell.kernel), "q8_0"),
+            recurrent_kernel=quant.quantize(np.asarray(fp.cell.recurrent_kernel), "q4_0"),
+            bias=fp.cell.bias,
+        ),
+        dense_kernel=quant.quantize(np.asarray(fp.dense_kernel), "q8_0"),
+        dense_bias=fp.dense_bias,
+    )
+    prompt = jnp.zeros((1, 4), jnp.int32)
+    with pytest.raises(ValueError, match="one qtype"):
+        fused_gru_decode(mixed, prompt, jnp.full((1,), 4, jnp.int32), 8)
