@@ -188,14 +188,17 @@ def main():
         # (the fused-inverted-residual variant is measured slower in-model —
         # 4.9k vs 7.7k img/s at B=128, see docs/STATUS.md — so the product
         # path and this bench stay on the plain XLA convs)
-        mv = from_named_tensors(named, mv_cfg, qtype="q8_0")
-        for mb in (32, 128) if on_tpu else (2,):
-            images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
-            best = timeit_pipelined(
-                lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
-            )
-            log(f"TPU q8_0 MobileViT bf16: batch={mb} {best*1e3:.1f}ms/call -> "
-                f"{mb/best:,.1f} images/s/chip")
+        for qt, batches_ in (("q8_0", (32, 128)), ("q4_0", (128,))) if on_tpu else (
+            ("q8_0", (2,)),
+        ):
+            mv = from_named_tensors(named, mv_cfg, qtype=qt)
+            for mb in batches_:
+                images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
+                best = timeit_pipelined(
+                    lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
+                )
+                log(f"TPU {qt} MobileViT bf16: batch={mb} {best*1e3:.1f}ms/call -> "
+                    f"{mb/best:,.1f} images/s/chip")
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
 

@@ -20,8 +20,15 @@ TP/DP shardings over the global mesh (parallel/), run one DecodeEngine per
 process with the *primary* process accepting submissions; refill decisions
 are broadcast (``multihost_utils.broadcast_one_to_all``) so every process
 executes the identical SPMD _reset/_scan sequence, and results materialize
-on the primary. Single-host this reduces to the plain loop (validated here
-on the simulated 8-device mesh; real multi-host needs pod hardware).
+on the primary. Single-host this reduces to the plain loop. EXECUTED, not
+just designed: tests/test_multihost.py runs a real 2-process
+``jax.distributed`` serving session and checks token parity with the
+offline decode; pod hardware only changes the fabric under the collectives.
+
+Scheduling host-work overlap: the pos/total cursors advance
+deterministically, so refill decisions use a host-side shadow (zero device
+reads per tick) and token readbacks trail the scans by up to ``fetch_depth``
+ticks as async copies — the device never waits for the host in steady state.
 """
 
 from __future__ import annotations
