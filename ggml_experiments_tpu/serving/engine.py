@@ -293,6 +293,11 @@ class DecodeEngine:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = EngineStats()
+        # set when the background worker dies on a device/runtime exception;
+        # every waiting Request is then released (with partial tokens) so
+        # callers never block on a dead engine — inspect before trusting
+        # results after an incident
+        self.error: Optional[Exception] = None
         # Host-side shadow of the deterministic slot cursors: pos advances by
         # exactly min(inner_steps, total - pos) per scan and total only
         # changes at _reset, so refill decisions need NO device read — the
@@ -305,6 +310,9 @@ class DecodeEngine:
         # (copy_to_host_async), so readback bandwidth overlaps device compute
         # instead of serializing with it. Streaming callbacks see tokens with
         # up to fetch_depth ticks of latency; drain/snapshot flush everything.
+        # Depth 1-2 is the robust choice on constrained/tunneled links (a
+        # 1024-slot soak showed deep pipelines can stall minutes on the first
+        # mid-stream readback there); raise it on direct-attached hosts.
         # Entries: (toks_device_array, [(slot, request, n_new), ...]).
         from collections import deque
 
@@ -496,9 +504,20 @@ class DecodeEngine:
         return True
 
     def _run(self):
-        while not self._stop.is_set():
-            if not self._tick():
-                time.sleep(0.001)
+        try:
+            while not self._stop.is_set():
+                if not self._tick():
+                    time.sleep(0.001)
+        except Exception as ex:  # device/runtime failure must not strand callers
+            self.error = ex
+            for req in list(self._slot_req.values()):
+                if req is not None:
+                    req._done.set()
+            while True:
+                try:
+                    self._queue.get_nowait()._done.set()
+                except queue.Empty:
+                    break
 
     # -- failure recovery ----------------------------------------------------
     # SURVEY.md §5: the reference has no failure handling; the north star asks

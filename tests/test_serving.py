@@ -260,3 +260,22 @@ def test_submit_backpressure(params):
     eng.submit([2], 5)
     with pytest.raises(RuntimeError, match="backpressure"):
         eng.submit([3], 5)
+
+
+def test_background_thread_failure_releases_waiters(params):
+    """A device/runtime exception in the worker must not strand result()
+    callers: requests are released and engine.error carries the cause."""
+    eng = DecodeEngine(params, n_slots=2, max_prompt=8, inner_steps=4)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    eng._scan = boom
+    req = eng.submit([1, 2], 10)
+    eng.start()
+    try:
+        out = req.result(timeout=10)  # released, not hung
+        assert out.size < 12
+        assert isinstance(eng.error, RuntimeError)
+    finally:
+        eng.stop()
