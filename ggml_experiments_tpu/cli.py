@@ -279,6 +279,81 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_bench(args) -> int:
+    """Measure decode / feature-extraction throughput under the pinned
+    protocol (utils/benchmarking.PROTOCOL) on the current device. Weights
+    may be a real checkpoint or omitted (random full-size shapes)."""
+    compute = _setup(args)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.utils.benchmarking import PROTOCOL, timeit_pipelined
+
+    qtype = args.qtype or "q8_0"
+    out = {"device": str(jax.devices()[0]), "protocol": PROTOCOL, "qtype": qtype,
+           "compute": args.compute}
+    rng = np.random.default_rng(args.seed)
+    if args.model == "gru":
+        from ggml_experiments_tpu.models import gru_textgen
+        from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+
+        if args.weights:
+            from ggml_experiments_tpu.formats.gru_bin import load_gru_any
+
+            params = load_gru_any(args.weights, qtype=qtype)
+        else:
+            from ggml_experiments_tpu.ops.gru import GRUCellParams
+            from ggml_experiments_tpu.quant import quantize
+
+            cfg = GRUConfig()
+            v, e, u = cfg.vocab_size, cfg.embed_dim, cfg.units
+            params = gru_textgen.GRUTextGenParams(
+                embeddings=jnp.asarray((rng.standard_normal((v, e)) * 0.05).astype(np.float32)),
+                cell=GRUCellParams(
+                    kernel=quantize((rng.standard_normal((e, 3 * u)) * 0.05).astype(np.float32), qtype),
+                    recurrent_kernel=quantize(
+                        (rng.standard_normal((u, 3 * u)) * 0.05).astype(np.float32), qtype),
+                    bias=jnp.asarray((rng.standard_normal((2, 3 * u)) * 0.05).astype(np.float32)),
+                ),
+                dense_kernel=quantize((rng.standard_normal((u, v)) * 0.05).astype(np.float32), qtype),
+                dense_bias=jnp.zeros((v,), jnp.float32),
+            )
+        v = params.vocab_size
+        b, steps = args.batch, args.steps
+        prompt = jnp.asarray(rng.integers(0, v, (b, 8)), jnp.int32)
+        lengths = jnp.full((b,), 8, jnp.int32)
+        best = timeit_pipelined(
+            lambda: gru_textgen.decode(params, prompt, lengths, steps,
+                                       compute_dtype=compute)
+        )
+        out.update(model="gru", batch=b, steps=steps,
+                   ms_per_call=round(best * 1e3, 2),
+                   tokens_per_s=round(b * steps / best, 1))
+    else:
+        from ggml_experiments_tpu.models.mobilevit import (
+            MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
+        )
+        from ggml_experiments_tpu.utils.image import synthetic_test_image
+
+        cfg = MobileViTConfig()
+        if args.weights:
+            from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+
+            named = read_named_tensors(args.weights)
+        else:
+            named = random_named_tensors(cfg)
+        mv = from_named_tensors(named, cfg, qtype=qtype)
+        feat = jax.jit(extract_features, static_argnames=("compute_dtype",))
+        imgs = jnp.asarray(np.stack([synthetic_test_image(cfg.image_size)] * args.batch))
+        best = timeit_pipelined(lambda: feat(mv, imgs, compute_dtype=compute))
+        out.update(model="mobilevit", batch=args.batch,
+                   ms_per_call=round(best * 1e3, 2),
+                   images_per_s=round(args.batch / best, 1))
+    print(json.dumps(out))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="ggml_experiments_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -352,6 +427,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation ppl every N steps (needs --eval-corpus)")
     _add_common(t)
     t.set_defaults(fn=cmd_train_gru)
+
+    b = sub.add_parser("bench", help="throughput under the pinned protocol (JSON)")
+    b.add_argument("--model", choices=["gru", "mobilevit"], default="gru")
+    b.add_argument("--weights", default=None,
+                   help="gru.bin/.gxt or weight.ggml (default: random full-size)")
+    b.add_argument("--batch", type=int, default=1024)
+    b.add_argument("--steps", type=int, default=256, help="decode steps (gru)")
+    b.add_argument("--seed", type=int, default=0)
+    _add_common(b)
+    b.set_defaults(fn=cmd_bench)
     return ap
 
 

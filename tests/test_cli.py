@@ -91,3 +91,17 @@ def test_eval_cli(capsys):
     assert rc == 0
     rec = json.loads(capsys.readouterr().out)
     assert rec["qtype"] == "q8_0" and rec["top1_agreement"] > 0.9 and "ppl_a" in rec
+
+
+def test_cli_bench_gru_smoke(capsys):
+    """gxt bench runs on CPU at a tiny config and emits protocol-stamped JSON."""
+    import json
+
+    from ggml_experiments_tpu.cli import main
+
+    rc = main(["bench", "--model", "gru", "--batch", "4", "--steps", "8",
+               "--platform", "cpu", "--compute", "bfloat16"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["model"] == "gru" and out["tokens_per_s"] > 0
+    assert out["protocol"]["rev"] >= 3
