@@ -171,6 +171,7 @@ class Request:
     _done: threading.Event = dataclasses.field(default_factory=threading.Event)
     _tokens: List[int] = dataclasses.field(default_factory=list)
     _canceled: bool = False
+    _error: Optional[Exception] = None  # set when the engine died under us
 
     def cancel(self) -> None:
         """Stop generating for this request. Queued requests never start;
@@ -187,9 +188,15 @@ class Request:
 
     def result(self, timeout: Optional[float] = None) -> np.ndarray:
         """Block until finished (or canceled); returns the tokens produced
-        (prompt echo + generated; partial if canceled)."""
+        (prompt echo + generated; partial if canceled). Raises RuntimeError
+        if the engine died before completing this request — a partial result
+        from a failure must not look like a success."""
         if not self._done.wait(timeout):
             raise TimeoutError(f"request {self.id} not finished")
+        if self._error is not None:
+            raise RuntimeError(
+                f"request {self.id} aborted by engine failure"
+            ) from self._error
         return np.asarray(self._tokens, np.int32)
 
 
@@ -512,12 +519,15 @@ class DecodeEngine:
             self.error = ex
             for req in list(self._slot_req.values()):
                 if req is not None:
+                    req._error = ex
                     req._done.set()
             while True:
                 try:
-                    self._queue.get_nowait()._done.set()
+                    req = self._queue.get_nowait()
                 except queue.Empty:
                     break
+                req._error = ex
+                req._done.set()
 
     # -- failure recovery ----------------------------------------------------
     # SURVEY.md §5: the reference has no failure handling; the north star asks

@@ -274,8 +274,8 @@ def test_background_thread_failure_releases_waiters(params):
     req = eng.submit([1, 2], 10)
     eng.start()
     try:
-        out = req.result(timeout=10)  # released, not hung
-        assert out.size < 12
+        with pytest.raises(RuntimeError, match="aborted by engine failure"):
+            req.result(timeout=10)  # released with an error, not hung
         assert isinstance(eng.error, RuntimeError)
     finally:
         eng.stop()
