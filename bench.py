@@ -188,17 +188,22 @@ def main():
         # (the fused-inverted-residual variant is measured slower in-model —
         # 4.9k vs 7.7k img/s at B=128, see docs/STATUS.md — so the product
         # path and this bench stay on the plain XLA convs)
-        for qt, batches_ in (("q8_0", (32, 128)), ("q4_0", (128,))) if on_tpu else (
-            ("q8_0", (2,)),
+        # flash attention (ops/flash_attention) wins ~1.1x in-model at batch,
+        # so the headline q8_0 rows run with it; one flash_attn=False row is
+        # kept for the XLA-attention comparison.
+        for qt, flash, batches_ in (
+            (("q8_0", True, (32, 128)), ("q8_0", False, (128,)), ("q4_0", True, (128,)))
+            if on_tpu else (("q8_0", False, (2,)),)
         ):
-            mv = from_named_tensors(named, mv_cfg, qtype=qt)
+            mv = from_named_tensors(named, mv_cfg, qtype=qt, flash_attn=flash)
             for mb in batches_:
                 images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
                 best = timeit_pipelined(
                     lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
                 )
-                log(f"TPU {qt} MobileViT bf16: batch={mb} {best*1e3:.1f}ms/call -> "
-                    f"{mb/best:,.1f} images/s/chip")
+                attn = "flash" if flash else "xla-attn"
+                log(f"TPU {qt} MobileViT bf16 ({attn}): batch={mb} "
+                    f"{best*1e3:.1f}ms/call -> {mb/best:,.1f} images/s/chip")
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
 

@@ -91,6 +91,7 @@ def _load_image(args, size: int):
 
 def cmd_features(args) -> int:
     compute_dtype = _setup(args)
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -102,11 +103,15 @@ def cmd_features(args) -> int:
     params = load_mobilevit(
         args.weights, config=config, qtype=args.qtype,
         conv_dtype="float16" if args.f16_convs else None,
+        flash_attn=args.flash_attn,
     )
     img = _load_image(args, config.image_size)
     t0 = time.time()
+    # jit the whole forward: on the tunneled TPU backend an eager (op-by-op)
+    # forward pays a remote compile+dispatch per op — minutes instead of ms
+    feat_fn = jax.jit(extract_features, static_argnames=("compute_dtype",))
     feats = np.asarray(
-        extract_features(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
+        feat_fn(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
     )
     print(f"forward: {(time.time() - t0) * 1000:.1f} ms", file=sys.stderr)
     # reference-comparable printout (print_features_d2, main.cpp:1225-1244):
@@ -123,16 +128,21 @@ def cmd_features(args) -> int:
 
 def cmd_classify(args) -> int:
     compute_dtype = _setup(args)
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, classify, load_mobilevit
 
     config = MobileViTConfig()
-    params = load_mobilevit(args.weights, config=config, qtype=args.qtype)
+    params = load_mobilevit(
+        args.weights, config=config, qtype=args.qtype,
+        flash_attn=getattr(args, "flash_attn", False),
+    )
     img = _load_image(args, config.image_size)
+    cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
     logits = np.asarray(
-        classify(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
+        cls_fn(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
     )[0]
     top = np.argsort(logits)[::-1][: args.top_k]
     for i in top:
@@ -373,6 +383,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--weights", required=True, help="weight.ggml (reference format)")
     f.add_argument("--image", default=None, help="image path (default: synthetic golden image)")
     f.add_argument("--image-size", type=int, default=256, help="input resolution (reference: 256)")
+    f.add_argument("--flash-attn", action="store_true",
+                   help="fused Pallas attention (scores stay in VMEM; the "
+                        "batched-serving configuration)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     _add_common(f)
@@ -382,6 +395,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--weights", required=True)
     c.add_argument("--image", default=None)
     c.add_argument("--top-k", type=int, default=5)
+    c.add_argument("--flash-attn", action="store_true",
+                   help="fused Pallas attention (see `features --flash-attn`)")
     _add_common(c)
     c.set_defaults(fn=cmd_classify)
 

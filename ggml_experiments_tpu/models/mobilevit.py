@@ -296,7 +296,8 @@ def _maybe_q(arr: np.ndarray, qtype: Optional[str]) -> Weight:
 
 
 def _transformer_layer(
-    tm: _TensorMap, path: str, num_heads: int, eps: float, qtype: Optional[str]
+    tm: _TensorMap, path: str, num_heads: int, eps: float, qtype: Optional[str],
+    flash_attn: bool = False,
 ) -> TransformerLayerParams:
     att = f"{path}/attention"
     return TransformerLayerParams(
@@ -312,6 +313,7 @@ def _transformer_layer(
             wo=_maybe_q(tm.get(f"{att}/output/dense/kernel:0"), qtype),
             bo=jnp.asarray(tm.get(f"{att}/output/dense/bias:0")),
             num_heads=num_heads,
+            flash=flash_attn,
         ),
         ln_after_gamma=jnp.asarray(tm.get(f"{path}/layernorm_after/gamma:0")),
         ln_after_beta=jnp.asarray(tm.get(f"{path}/layernorm_after/beta:0")),
@@ -333,6 +335,7 @@ def _vit_block(
     conv_dtype: Optional[str],
     qtype: Optional[str],
     fused_ir: bool = False,
+    flash_attn: bool = False,
 ) -> MobileViTBlockParams:
     eps = config.layer_norm_eps
     return MobileViTBlockParams(
@@ -352,7 +355,8 @@ def _vit_block(
         conv_1x1=_conv(tm, f"{path}/conv_1x1", use_bn=False, activation=None, conv_dtype=conv_dtype),
         transformer=tuple(
             _transformer_layer(
-                tm, f"{path}/transformer/layer.{i}", config.num_attention_heads, eps, qtype
+                tm, f"{path}/transformer/layer.{i}", config.num_attention_heads,
+                eps, qtype, flash_attn,
             )
             for i in range(n_layers)
         ),
@@ -374,6 +378,7 @@ def from_named_tensors(
     strict: bool = False,
     stem_space_to_depth: bool = False,
     fused_ir: bool = False,
+    flash_attn: bool = False,
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
@@ -381,7 +386,8 @@ def from_named_tensors(
     'float16'`` replicates the reference's f16-conv load policy; ``qtype``
     block-quantizes every transformer dense kernel; ``fused_ir`` runs every
     inverted-residual block through the fused Pallas kernel in bf16 mode
-    (ops/fused_inverted_residual — the serving configuration).
+    (ops/fused_inverted_residual); ``flash_attn`` routes attention through
+    the fused Pallas score/softmax/context kernel (ops/flash_attention).
 
     The root name prefix is auto-detected: TFMobileViTModel exports under
     ``tf_mobile_vi_t_model/mobilevit/...`` (the reference's converter) while
@@ -415,15 +421,15 @@ def from_named_tensors(
         layer_2=mobile_net_layer(1, neck[1], neck[2], 2, 3),
         layer_3=_vit_block(
             tm, f"{enc}/layer.2", neck[2], neck[3], config.num_transformer_layers[0],
-            config, conv_dtype, qtype, fused_ir,
+            config, conv_dtype, qtype, fused_ir, flash_attn,
         ),
         layer_4=_vit_block(
             tm, f"{enc}/layer.3", neck[3], neck[4], config.num_transformer_layers[1],
-            config, conv_dtype, qtype, fused_ir,
+            config, conv_dtype, qtype, fused_ir, flash_attn,
         ),
         layer_5=_vit_block(
             tm, f"{enc}/layer.4", neck[4], neck[5], config.num_transformer_layers[2],
-            config, conv_dtype, qtype, fused_ir,
+            config, conv_dtype, qtype, fused_ir, flash_attn,
         ),
         conv_1x1_exp=_conv(tm, f"{prefix}/conv_1x1_exp", conv_dtype=conv_dtype),
     )

@@ -32,6 +32,11 @@ class AttentionParams:
     wo: Weight
     bo: Optional[jax.Array]
     num_heads: int = dataclasses.field(default=4, metadata=dict(static=True))
+    # Route the score/softmax/context chain through the fused Pallas kernel
+    # (ops/flash_attention.py) instead of XLA einsums. The serving
+    # configuration: at batch the (L, L) score tensors dominate attention
+    # HBM traffic and the kernel keeps them in VMEM.
+    flash: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
 
 def multi_head_attention(
@@ -62,6 +67,18 @@ def multi_head_attention(
     def heads(t):
         *lead, l, c = t.shape
         return t.reshape(*lead, l, num_heads, c // num_heads)
+
+    if p.flash and x.shape[-2] % 8 == 0:
+        from ggml_experiments_tpu.ops.flash_attention import flash_mha
+
+        ctx = flash_mha(
+            linear(x, p.wq, p.bq, **cd),
+            linear(x, p.wk, p.bk, **cd),
+            linear(x, p.wv, p.bv, **cd),
+            num_heads,
+            compute_dtype=compute_dtype,
+        )
+        return linear(ctx, p.wo, p.bo, **cd)
 
     q = heads(linear(x, p.wq, p.bq, **cd))  # (..., L, H, dh)
     k = heads(linear(x, p.wk, p.bk, **cd))

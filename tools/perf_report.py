@@ -85,19 +85,25 @@ def main(out_path="PERF.md"):
         )
 
     mv_cfg = MobileViTConfig()
-    mv = from_named_tensors(random_named_tensors(mv_cfg), mv_cfg, qtype="q8_0")
+    named = random_named_tensors(mv_cfg)
     feat = jax.jit(extract_features, static_argnames=("compute_dtype",))
     imgs = jnp.asarray(np.stack([synthetic_test_image(256)] * 128))
-    best = timeit(lambda: feat(mv, imgs, compute_dtype=jnp.bfloat16))
     # per-op roofline at B=128, bf16 activations: 512 GFLOP (2.6 ms of pure
     # MXU time) but 10.4 ms of unavoidable HBM activation traffic — the model
-    # is bandwidth-bound, so SoL is measured against the memory floor.
-    mv_mem_floor_s = 0.0104
-    lines.append(
-        f"| MobileViT q8 bf16 (B=128) | {best*1e3:.1f} ms | {128/best:,.0f} img/s | "
-        f"{best/128*1e6:.0f} us/img | HBM bandwidth | "
-        f"{mv_mem_floor_s/best:.2f} |"
-    )
+    # is bandwidth-bound, so SoL is measured against the memory floor. With
+    # flash attention (ops/flash_attention) the (L, L) score/prob tensors
+    # never touch HBM, removing ~1.3 ms of that floor.
+    for name, flash, floor_s in (
+        ("MobileViT q8 bf16 (B=128)", False, 0.0104),
+        ("MobileViT q8 bf16 + flash attn (B=128)", True, 0.0091),
+    ):
+        mv = from_named_tensors(named, mv_cfg, qtype="q8_0", flash_attn=flash)
+        best = timeit(lambda: feat(mv, imgs, compute_dtype=jnp.bfloat16))
+        lines.append(
+            f"| {name} | {best*1e3:.1f} ms | {128/best:,.0f} img/s | "
+            f"{best/128*1e6:.0f} us/img | HBM bandwidth | "
+            f"{floor_s/best:.2f} |"
+        )
     lines.append("")
     lines.append("SoL fraction = achieved / max-achievable given arithmetic intensity "
                  "(utils/observability.py; v5e peaks 197 TF bf16, 819 GB/s HBM). "
