@@ -7,7 +7,8 @@ chip at ~144us/step while the arithmetic needs ~15us. This kernel runs the
 
   * Q8_0 weights are loaded HBM->VMEM once and dequantized to bf16 in VMEM —
     zero per-step weight traffic (the scan path re-reads ~4 MB per step);
-  * the embedding lookup is a one-hot matmul on the MXU (no gather);
+  * the input projection is a vocab-wide table (emb · W, built once in
+    setup) contracted against the step's one-hot on the MXU (no gather);
   * gate math, state update, logits and argmax all happen in-kernel;
   * the recurrent state h lives in VMEM scratch for the whole decode.
 
@@ -59,7 +60,7 @@ def _kernel(
     toks_ref,         # (Tp, B) int32
     h_out_ref,        # (B, Ku) f32
     # scratch
-    w_bf, u_bf, d_bf, emb_bf, h_ref, prev_ref,
+    w_bf, u_bf, d_bf, proj_bf, h_ref, prev_ref,
     *,
     units: int,
     total_steps: int,
@@ -70,7 +71,14 @@ def _kernel(
     _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
     _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
     _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
-    emb_bf[:] = emb_ref[:].astype(cd)
+    # Vocab-wide input-projection table, computed ONCE during VMEM setup:
+    # proj[v] = emb[v] · W. The per-step x-projection then contracts the
+    # one-hot over (Vp, G) instead of (Vp, Ke) + (Ke, G) — the same
+    # loop-invariant hoist the scan path does (gru_textgen.generate), done
+    # the in-kernel way; drops ~1.6 GFLOP/step at the reference shapes.
+    proj_bf[:] = jnp.dot(
+        emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+    ).astype(cd)
     h_ref[:] = jnp.zeros_like(h_ref)
     prev_ref[:] = jnp.zeros_like(prev_ref)
 
@@ -90,13 +98,13 @@ def _kernel(
         toks_ref[pl.ds(j, 1), :] = tok
 
         onehot_vb = (sub_v == tok).astype(cd)             # (Vp, B)
-        # x (B, Ke) = onehot^T · emb     (contract the sublane Vp dim)
-        x = jax.lax.dot_general(
-            onehot_vb, emb_bf[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # mx (B, G) = onehot^T · proj   (contract the sublane Vp dim) — the
+        # projected-row gather as one small matmul
         mx = (
-            jnp.dot(x.astype(cd), w_bf[:], preferred_element_type=jnp.float32)[:, :g]
+            jax.lax.dot_general(
+                onehot_vb, proj_bf[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
             + b0
         )
         h_full = h_ref[:]                                 # (B, Ku); pad cols stay 0
@@ -160,7 +168,7 @@ def _fused_decode_jit(
             pltpu.VMEM((ke, g), cd),       # w_bf
             pltpu.VMEM((ku, g), cd),       # u_bf
             pltpu.VMEM((ku, vp), cd),      # d_bf
-            pltpu.VMEM((vp, ke), cd),      # emb_bf
+            pltpu.VMEM((vp, g), cd),       # proj_bf (input-projection table)
             pltpu.VMEM((b, ku), jnp.float32),   # h
             pltpu.VMEM((1, b), jnp.int32),      # prev token row
         ],
@@ -168,7 +176,7 @@ def _fused_decode_jit(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * total_steps * b * (vp * ke + ke * g + ku * g + ku * vp),
+            flops=2 * total_steps * b * (vp * g + ku * g + ku * vp),
             bytes_accessed=wc.size + uc.size + dc.size + 4 * (tp * b * 2),
             transcendentals=total_steps * b * 3 * units,
         ),
