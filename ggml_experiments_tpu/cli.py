@@ -222,6 +222,24 @@ def cmd_serve(args) -> int:
         temperature=args.temperature,
     )
     engine.start()
+    if args.http is not None:
+        import signal
+
+        from ggml_experiments_tpu.serving.http import HttpFrontend
+
+        front = HttpFrontend(engine, tok, host=args.host, port=args.http)
+        front.start()
+        print(f"serving HTTP on {args.host}:{front.port} "
+              f"({args.slots} slots; POST /v1/generate, GET /v1/health)",
+              file=sys.stderr)
+        try:
+            signal.pause()
+        except (KeyboardInterrupt, AttributeError):
+            pass  # AttributeError: no signal.pause on non-POSIX
+        finally:
+            front.stop()
+            engine.stop()
+        return 0
     print(f"serving with {args.slots} slots; type a prompt per line "
           f"(empty line or EOF to quit)", file=sys.stderr)
     try:
@@ -413,6 +431,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--inner-steps", type=int, default=16)
     s.add_argument("--steps", type=int, default=200, help="max new tokens per request")
     s.add_argument("--temperature", type=float, default=0.0)
+    s.add_argument("--http", type=int, default=None, metavar="PORT",
+                   help="serve a JSON HTTP API instead of the stdin loop "
+                        "(POST /v1/generate, GET /v1/health|/v1/stats; 0 = "
+                        "ephemeral port)")
+    s.add_argument("--host", default="127.0.0.1",
+                   help="bind address for --http (default 127.0.0.1)")
     _add_common(s)
     s.set_defaults(fn=cmd_serve)
 
