@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 
@@ -91,36 +93,15 @@ def _pick_rows_per_step(bp: int, l: int, c: int, budget_bytes: int = 10 << 20) -
     return g
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_heads", "compute_dtype", "interpret")
-)
-def flash_mha(
-    q: jax.Array,            # (..., L, C)
-    k: jax.Array,
-    v: jax.Array,
-    num_heads: int,
-    *,
-    compute_dtype=jnp.bfloat16,
-    interpret: bool | None = None,
-) -> jax.Array:
-    """Dense (non-causal, unmasked) MHA over the last two dims: returns the
-    context in the same (..., L, C) layout the output projection consumes."""
-    *lead, l, c = q.shape
-    if c % num_heads:
-        raise ValueError(f"C={c} not divisible by num_heads={num_heads}")
-    bp = 1
-    for d in lead:
-        bp *= d
+def _flash_core_call(q3, k3, v3, masks, *, num_heads, compute_dtype, interpret):
+    """The pallas_call on an already-flattened (bp, l, c) problem. Runs on
+    whatever (possibly per-shard) bp it is given."""
+    bp, l, c = q3.shape
     dh = c // num_heads
     g = _pick_rows_per_step(bp, l, c)
     cd = compute_dtype
-
-    q3, k3, v3 = (t.reshape(bp, l, c).astype(cd) for t in (q, k, v))
-    head_ids = jnp.arange(c, dtype=jnp.int32) // dh          # (C,)
-    masks = (head_ids[None, :] == jnp.arange(num_heads, dtype=jnp.int32)[:, None])
-    masks = masks.astype(jnp.float32)                        # (H, C)
     spec = pl.BlockSpec((g, l, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(
             _mha_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
             compute_dtype=cd,
@@ -140,4 +121,77 @@ def flash_mha(
         ),
         interpret=_default_interpret() if interpret is None else interpret,
     )(q3, k3, v3, masks)
-    return out.reshape(*lead, l, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_core_partitioned(num_heads, compute_dtype, interpret):
+    """Batch-partitionable wrapper: under a sharded jit the kernel runs
+    per-shard on the local batch rows instead of XLA gathering the operands
+    to one replicated pallas_call (each (b, l, c) attention problem is
+    independent, so DP/row sharding is embarrassingly parallel). The l/c/h
+    dims must stay whole on every device — the kernel wants full rows and
+    full channel width in VMEM."""
+    def core(q3, k3, v3, masks):  # positional-only: custom_partitioning
+        return _flash_core_call(
+            q3, k3, v3, masks, num_heads=num_heads,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    def _batch_spec(shardings, mesh):
+        # q/k/v agree on dim-0 sharding by construction; take the first
+        for s in shardings:
+            if isinstance(s, NamedSharding) and s.spec and s.spec[0] is not None:
+                return s.spec[0]
+        return None
+
+    def infer(mesh, arg_shapes, result_shape):
+        b = _batch_spec([a.sharding for a in arg_shapes[:3]], mesh)
+        return NamedSharding(mesh, P(b, None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_spec([a.sharding for a in arg_shapes[:3]], mesh)
+        qkv = NamedSharding(mesh, P(b, None, None))
+        mask_s = NamedSharding(mesh, P(None, None))
+        return mesh, core, qkv, (qkv, qkv, qkv, mask_s)
+
+    fn = custom_partitioning(core)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b l c, b l c, b l c, h c -> b l c",
+        need_replication_factors=("l", "c", "h"),
+    )
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "compute_dtype", "interpret")
+)
+def flash_mha(
+    q: jax.Array,            # (..., L, C)
+    k: jax.Array,
+    v: jax.Array,
+    num_heads: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Dense (non-causal, unmasked) MHA over the last two dims: returns the
+    context in the same (..., L, C) layout the output projection consumes.
+    Partition-aware: batch-dim sharding stays local per device (see
+    _flash_core_partitioned)."""
+    *lead, l, c = q.shape
+    if c % num_heads:
+        raise ValueError(f"C={c} not divisible by num_heads={num_heads}")
+    bp = 1
+    for d in lead:
+        bp *= d
+    dh = c // num_heads
+    cd = compute_dtype
+
+    q3, k3, v3 = (t.reshape(bp, l, c).astype(cd) for t in (q, k, v))
+    head_ids = jnp.arange(c, dtype=jnp.int32) // dh          # (C,)
+    masks = (head_ids[None, :] == jnp.arange(num_heads, dtype=jnp.int32)[:, None])
+    masks = masks.astype(jnp.float32)                        # (H, C)
+    fn = _flash_core_partitioned(num_heads, cd, interpret)
+    return fn(q3, k3, v3, masks).reshape(*lead, l, c)

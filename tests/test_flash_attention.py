@@ -74,6 +74,26 @@ def test_rejects_bad_heads():
         flash_mha(q, q, q, 4)
 
 
+def test_batch_sharding_stays_local():
+    """DP-sharded q/k/v run the kernel per-shard: the output keeps the
+    batch sharding instead of being gathered + replicated (the
+    custom_partitioning rule in ops/flash_attention)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    if devs.size < 2:
+        pytest.skip("needs the simulated multi-device mesh")
+    mesh = Mesh(devs, ("data",))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2 * devs.size, 4, 64, 48)).astype(np.float32))
+    qs = jax.device_put(q, NamedSharding(mesh, P("data")))
+    out = flash_mha(qs, qs, qs, 4, compute_dtype=jnp.float32)
+    assert out.sharding.spec[0] == "data"
+    ref = flash_mha(q, q, q, 4, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_model_flash_attn_flag():
     """from_named_tensors(flash_attn=True) matches the default path end-to-end."""
     from ggml_experiments_tpu.models.mobilevit import (
