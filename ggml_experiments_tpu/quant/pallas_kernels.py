@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
 
@@ -162,11 +164,74 @@ def _pick_tiles(m, kp, np_, qtype):
     return tile_m, tile_n, tile_k
 
 
+@functools.lru_cache(maxsize=None)
+def _qmatmul_partitioned(qtype: str, compute_dtype):
+    """Partition-aware wrapper over the padded (m, kp)x(kp, np) kernel.
+
+    Under a sharded jit, XLA's default for a pallas_call is to gather every
+    operand and run it replicated — which silently defeats Megatron-style
+    column-parallel TP for quantized weights (full weight all-gather each
+    step). This rule keeps M (activation rows) and N (weight columns) local
+    per shard; K and the scale rows must be whole on each device (row-
+    parallel K sharding still takes the gather path, as before — the
+    sharding module prefers pairing column-parallel QTensors with a
+    row-parallel *float* partner, parallel/sharding.py)."""
+
+    def core(x2, codes, scales):
+        m, kp = x2.shape
+        np_ = codes.shape[-1]
+        tile_m, tile_n, tile_k = _pick_tiles(m, kp, np_, qtype)
+        return _qmatmul_2d(
+            x2, codes, scales, qtype=qtype, logical_n=np_,
+            tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
+            compute_dtype=compute_dtype,
+        )
+
+    def _axis(sharding, dim):
+        if isinstance(sharding, NamedSharding) and len(sharding.spec) > dim:
+            return sharding.spec[dim]
+        return None
+
+    def _axes(arg_shapes):
+        m_ax = _axis(arg_shapes[0].sharding, 0)
+        n_ax = _axis(arg_shapes[1].sharding, 1) or _axis(arg_shapes[2].sharding, 1)
+        return m_ax, n_ax
+
+    def infer(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return NamedSharding(mesh, P(m_ax, n_ax))
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return (
+            mesh,
+            core,
+            NamedSharding(mesh, P(m_ax, n_ax)),
+            (
+                NamedSharding(mesh, P(m_ax, None)),
+                NamedSharding(mesh, P(None, n_ax)),
+                NamedSharding(mesh, P(None, n_ax)),
+            ),
+        )
+
+    fn = custom_partitioning(core)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        # codes/scales K-rows are distinct factors (q4 packs 2 K per row):
+        # all K-ish dims replicated, m/n free to shard
+        sharding_rule="m k, j n, s n -> m n",
+        need_replication_factors=("k", "j", "s"),
+    )
+    return fn
+
+
 def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:
     """``x @ dequantize(qt)`` with fused in-kernel dequantization.
 
     ``x``: float array ``(..., K)``. Returns float32 ``(..., N)``.
-    Falls back to interpret mode automatically off-TPU.
+    Falls back to interpret mode automatically off-TPU. Partition-aware:
+    M/N shardings stay local per device (see _qmatmul_partitioned).
     """
     k, n = qt.shape
     if x.shape[-1] != k:
@@ -181,18 +246,9 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
     kp = qt.kp
     if kp != k:
         x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
-    tile_m, tile_n, tile_k = _pick_tiles(m, kp, qt.np_, qt.qtype)
-    out = _qmatmul_2d(
-        x2,
-        qt.codes,
-        qt.scales,
-        qtype=qt.qtype,
-        logical_n=n,
-        tile_m=tile_m,
-        tile_n=tile_n,
-        tile_k=tile_k,
-        compute_dtype=compute_dtype,
-    )
+    out = _qmatmul_partitioned(qt.qtype, compute_dtype)(x2, qt.codes, qt.scales)
+    if n != out.shape[-1]:
+        out = out[:, :n]  # drop lane padding (kept through the sharded call)
     if compute_dtype != jnp.float32:
         out = out.astype(compute_dtype)  # bf16 storage; kernel accumulates f32
     return out.reshape(*batch_shape, n)

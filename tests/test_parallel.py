@@ -229,3 +229,29 @@ def test_qtensor_row_parallel_q4(mesh):
         np.asarray(quant.qmatmul(x, qt_sh)), np.asarray(quant.qmatmul(x, qt)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_qmatmul_column_parallel_stays_local(mesh):
+    """The Pallas qmatmul partitioning rule: under jit, a column-parallel
+    QTensor runs the kernel on each device's local N slice (output sharded
+    on the model axis) instead of XLA all-gathering the codes and running
+    the kernel replicated."""
+    import dataclasses
+
+    rng = np.random.default_rng(3)
+    w = (rng.standard_normal((512, 4096)) * 0.1).astype(np.float32)
+    qt = quant.quantize(w, "q8_0")
+    assert qt.shape[0] * qt.shape[1] > 1 << 20, "must take the Pallas path"
+    qt_sh = dataclasses.replace(
+        qt,
+        codes=jax.device_put(qt.codes, NamedSharding(mesh, P(None, MODEL_AXIS))),
+        scales=jax.device_put(qt.scales, NamedSharding(mesh, P(None, MODEL_AXIS))),
+    )
+    x = jnp.asarray(rng.standard_normal((16, 512)).astype(np.float32))
+
+    fn = jax.jit(lambda a, q: quant.qmatmul(a, q))
+    out = fn(x, qt_sh)
+    assert out.sharding.spec[-1] == MODEL_AXIS, out.sharding
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(quant.qmatmul(x, qt)), rtol=1e-4, atol=1e-4
+    )
