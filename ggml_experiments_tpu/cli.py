@@ -137,7 +137,7 @@ def cmd_classify(args) -> int:
     config = MobileViTConfig()
     params = load_mobilevit(
         args.weights, config=config, qtype=args.qtype,
-        flash_attn=getattr(args, "flash_attn", False),
+        flash_attn=getattr(args, "flash_attn", None),
     )
     img = _load_image(args, config.image_size)
     cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
@@ -401,9 +401,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--weights", required=True, help="weight.ggml (reference format)")
     f.add_argument("--image", default=None, help="image path (default: synthetic golden image)")
     f.add_argument("--image-size", type=int, default=256, help="input resolution (reference: 256)")
-    f.add_argument("--flash-attn", action="store_true",
-                   help="fused Pallas attention (scores stay in VMEM; the "
-                        "batched-serving configuration)")
+    f.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
+                   help="fused Pallas attention (scores stay in VMEM; default: "
+                        "auto — on for TPU backends, off on CPU)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     _add_common(f)
@@ -413,7 +413,7 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--weights", required=True)
     c.add_argument("--image", default=None)
     c.add_argument("--top-k", type=int, default=5)
-    c.add_argument("--flash-attn", action="store_true",
+    c.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
                    help="fused Pallas attention (see `features --flash-attn`)")
     _add_common(c)
     c.set_defaults(fn=cmd_classify)

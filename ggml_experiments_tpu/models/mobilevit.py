@@ -378,7 +378,7 @@ def from_named_tensors(
     strict: bool = False,
     stem_space_to_depth: bool = False,
     fused_ir: bool = False,
-    flash_attn: bool = False,
+    flash_attn: Optional[bool] = None,
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
@@ -388,12 +388,24 @@ def from_named_tensors(
     inverted-residual block through the fused Pallas kernel in bf16 mode
     (ops/fused_inverted_residual); ``flash_attn`` routes attention through
     the fused Pallas score/softmax/context kernel (ops/flash_attention).
+    ``flash_attn=None`` (default) auto-selects: on TPU backends the kernel
+    is a measured ~1.1x end-to-end win (PERF.md) so it is enabled; on CPU
+    the kernel only runs in Pallas interpret mode, so the XLA einsum path
+    is used. Pass an explicit bool to force either route.
 
     The root name prefix is auto-detected: TFMobileViTModel exports under
     ``tf_mobile_vi_t_model/mobilevit/...`` (the reference's converter) while
     TFMobileViTForImageClassification exports under
     ``tf_mobile_vi_t_for_image_classification/mobilevit/...`` + classifier.
     """
+    if flash_attn is None:
+        # Same backend rule as quant.pallas_kernels._default_interpret: any
+        # non-CPU backend (tpu, or the tunneled "axon" platform) runs the
+        # Mosaic kernel for real; CPU would only interpret it.
+        try:
+            flash_attn = jax.default_backend() != "cpu"
+        except Exception:  # pragma: no cover
+            flash_attn = False
     tm = _TensorMap(tensors)
     prefix = _PREFIX
     for key in tensors:

@@ -6,6 +6,7 @@ both compute dtypes, and the end-to-end model with ``flash_attn=True``.
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -114,3 +115,25 @@ def test_model_flash_attn_flag():
     f0 = extract_features(base, x)
     f1 = extract_features(flash, x)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=2e-4, rtol=2e-4)
+
+
+def test_flash_attn_auto_default():
+    """flash_attn=None resolves by backend: off on CPU, on otherwise.
+
+    (The test session runs on CPU, so the default assembles the XLA einsum
+    path; explicit booleans are always honored.)"""
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, from_named_tensors, random_named_tensors,
+    )
+
+    cfg = MobileViTConfig(
+        image_size=64, hidden_sizes=(16, 24, 32),
+        neck_hidden_sizes=(8, 16, 16, 24, 32, 40, 64),
+        num_transformer_layers=(1, 1, 1),
+    )
+    named = random_named_tensors(cfg, seed=3)
+    auto = from_named_tensors(named, cfg)  # flash_attn=None
+    assert jax.default_backend() == "cpu"
+    assert auto.layer_3.transformer[0].attention.flash is False
+    forced = from_named_tensors(named, cfg, flash_attn=True)
+    assert forced.layer_3.transformer[0].attention.flash is True
