@@ -233,9 +233,14 @@ def cmd_serve(args) -> int:
               f"({args.slots} slots; POST /v1/generate, GET /v1/health)",
               file=sys.stderr)
         try:
-            signal.pause()
-        except (KeyboardInterrupt, AttributeError):
-            pass  # AttributeError: no signal.pause on non-POSIX
+            if hasattr(signal, "pause"):
+                signal.pause()
+            else:  # non-POSIX: block forever (Ctrl-C raises out of wait)
+                import threading
+
+                threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
         finally:
             front.stop()
             engine.stop()

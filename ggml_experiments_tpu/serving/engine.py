@@ -204,6 +204,7 @@ class Request:
 class EngineStats:
     tokens_generated: int = 0
     requests_completed: int = 0
+    requests_canceled: int = 0
     device_steps: int = 0
     wall_time_s: float = 0.0
 
@@ -335,6 +336,10 @@ class DecodeEngine:
         temperature > 0 or enable_sampling=True; <= 0 means greedy).
         ``on_token`` streams each token id as it lands (called from the
         engine thread — keep it cheap and thread-safe)."""
+        if self.error is not None:
+            # the worker thread is dead — queuing would strand the caller
+            # until their own timeout with no one to ever serve the request
+            raise RuntimeError(f"engine failed: {self.error!r}") from self.error
         prompt_ids = np.asarray(prompt_ids, np.int32)
         if prompt_ids.ndim != 1 or prompt_ids.size == 0:
             raise ValueError("prompt_ids must be a non-empty 1-D int array")
@@ -440,9 +445,11 @@ class DecodeEngine:
             req = self._slot_req[i]
             if req is not None:
                 self._slot_req[i] = None
-                self.stats.requests_completed += 1
                 if req._canceled:
+                    self.stats.requests_canceled += 1
                     mask[i] = True  # tot stays 0: clears the device slot
+                else:
+                    self.stats.requests_completed += 1
             new_req = None
             while new_req is None or new_req._canceled:
                 try:

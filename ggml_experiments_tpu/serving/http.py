@@ -93,10 +93,13 @@ class HttpFrontend:
         with self._req_lock:
             self._requests[req.id] = req
             # bound the registry: completed requests older than the newest
-            # few hundred are of no further cancel interest
+            # few hundred are of no further cancel interest. Still-running
+            # requests are never evicted — they must stay DELETE-cancelable.
             if len(self._requests) > 1024:
                 for rid in sorted(self._requests)[:-512]:
-                    self._requests.pop(rid, None)
+                    r = self._requests.get(rid)
+                    if r is not None and r._done.is_set():
+                        self._requests.pop(rid, None)
 
     def find(self, req_id: int) -> Optional[Request]:
         with self._req_lock:
@@ -136,6 +139,7 @@ def _make_handler(front: HttpFrontend):
                 self._json(200, {
                     "tokens_generated": s.tokens_generated,
                     "requests_completed": s.requests_completed,
+                    "requests_canceled": s.requests_canceled,
                     "device_steps": s.device_steps,
                     "wall_time_s": s.wall_time_s,
                     "tokens_per_s": s.tokens_per_s,
@@ -176,8 +180,12 @@ def _make_handler(front: HttpFrontend):
                 if temperature is not None:
                     temperature = float(temperature)
                 stream = bool(payload.get("stream", False))
-            except (KeyError, ValueError, json.JSONDecodeError) as ex:
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:
                 self._json(400, {"error": f"bad request: {ex}"})
+                return
+
+            if front.engine.error is not None:
+                self._json(500, {"error": f"engine failed: {front.engine.error!r}"})
                 return
 
             prompt_ids = tok.encode(prompt[: front.engine.max_prompt])
@@ -219,6 +227,8 @@ def _make_handler(front: HttpFrontend):
             def _watch():
                 try:
                     req.result(timeout=front.request_timeout_s)
+                except TimeoutError:
+                    req.cancel()  # timed-out stream: free the decode slot
                 except Exception:
                     pass
                 token_q.put(_STREAM_END)

@@ -134,10 +134,11 @@ def train(
     stream = prefetch_to_device(batches, sharding=sharding)
     for i, (inputs, targets) in enumerate(stream):
         params, opt_state, loss = step_fn(params, opt_state, inputs, targets)
-        if i % cfg.log_every == 0 or manager is not None:
+        do_eval = eval_fn is not None and i % cfg.eval_every == 0
+        if i % cfg.log_every == 0 or manager is not None or do_eval:
             loss_val = float(loss)
             rec = {"step": i, "loss": loss_val, "elapsed_s": time.time() - t0}
-            if eval_fn is not None and i % cfg.eval_every == 0:
+            if do_eval:
                 rec["val_ppl"] = float(eval_fn(params))
             history.append(rec)
             if log is not None and i % cfg.log_every == 0:

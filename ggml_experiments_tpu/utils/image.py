@@ -111,6 +111,11 @@ def load_image(path: str) -> np.ndarray:
         return image_codecs.decode(data)
     except ValueError:
         pass
+    except Exception:
+        # e.g. zlib.error from a corrupt IDAT stream, struct.error from a
+        # truncated header — PIL may still handle files the native decoders
+        # cannot, so any native-decode failure falls through to it
+        pass
     try:
         import io
 

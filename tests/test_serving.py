@@ -277,5 +277,22 @@ def test_background_thread_failure_releases_waiters(params):
         with pytest.raises(RuntimeError, match="aborted by engine failure"):
             req.result(timeout=10)  # released with an error, not hung
         assert isinstance(eng.error, RuntimeError)
+        # a dead engine must reject new work immediately, not enqueue it
+        # into a queue no thread will ever drain
+        with pytest.raises(RuntimeError, match="engine failed"):
+            eng.submit([3], 5)
     finally:
         eng.stop()
+
+
+def test_canceled_requests_not_counted_completed(params):
+    """Cancellation increments requests_canceled, not requests_completed."""
+    eng = DecodeEngine(params, n_slots=2, max_prompt=8, inner_steps=4)
+    done_req = eng.submit([1, 2], 10)
+    live = eng.submit([3], 40)
+    eng._tick()  # both in flight
+    live.cancel()
+    eng.run_until_idle()
+    assert np.asarray(done_req.result(timeout=1)).size == 12
+    assert eng.stats.requests_completed == 1
+    assert eng.stats.requests_canceled == 1
