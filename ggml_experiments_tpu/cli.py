@@ -177,7 +177,7 @@ def cmd_quantize(args) -> int:
 
 
 def cmd_train_gru(args) -> int:
-    _setup(args)
+    compute_dtype = _setup(args)
     from ggml_experiments_tpu.formats.gru_bin import save_gru_params
     from ggml_experiments_tpu.models.gru_textgen import GRUConfig
     from ggml_experiments_tpu.training import TrainConfig, train_from_text
@@ -190,6 +190,7 @@ def cmd_train_gru(args) -> int:
         train_config=TrainConfig(
             epochs=args.epochs, checkpoint_path=args.checkpoint,
             log_every=args.log_every, eval_every=args.eval_every,
+            compute_dtype=compute_dtype,
         ),
         data_config=DataConfig(seq_length=args.seq_length, batch_size=args.batch_size),
         seed=args.seed,

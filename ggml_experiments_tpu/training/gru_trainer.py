@@ -33,17 +33,30 @@ class TrainConfig:
     checkpoint_path: Optional[str] = None
     remat: bool = False           # jax.checkpoint the cell (long sequences)
     eval_every: int = 0           # >0: held-out ppl every N steps (needs eval data)
+    # Mixed precision: bfloat16 runs the forward/backward matmuls single-pass
+    # on the MXU and stores scan activations in bf16, while params, grads (at
+    # the param boundary), Adam state and the CE loss all stay float32 — the
+    # standard master-weights recipe. float32 matches the reference exactly.
+    compute_dtype: Any = jnp.float32
 
 
 def sparse_softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Mean CE from logits — tf.losses.SparseCategoricalCrossentropy(from_logits=True)."""
-    return optax.softmax_cross_entropy_with_integer_labels(logits, targets).mean()
+    """Mean CE from logits — tf.losses.SparseCategoricalCrossentropy(from_logits=True).
+
+    Logits are promoted to f32 so the log-sum-exp is full-precision even when
+    the forward ran in bfloat16."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits.astype(jnp.float32), targets
+    ).mean()
 
 
 def loss_fn(
-    params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array, *, remat: bool = False
+    params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array, *,
+    remat: bool = False, compute_dtype=jnp.float32,
 ) -> jax.Array:
-    logits, _ = gru_textgen.forward_sequence(params, inputs, remat=remat)
+    logits, _ = gru_textgen.forward_sequence(
+        params, inputs, remat=remat, compute_dtype=compute_dtype
+    )
     return sparse_softmax_cross_entropy(logits, targets)
 
 
@@ -52,17 +65,19 @@ def make_train_step(
     mesh=None,
     *,
     remat: bool = False,
+    compute_dtype=jnp.float32,
 ) -> Callable:
     """Build the jitted (params, opt_state, inputs, targets) -> ... step.
 
     With a mesh, inputs/targets are expected sharded over ``data`` and params
     per ``gru_param_specs``; XLA derives gradient/optimizer shardings and
-    inserts the cross-device collectives.
+    inserts the cross-device collectives. ``compute_dtype=bfloat16`` is the
+    mixed-precision fast path (see TrainConfig.compute_dtype).
     """
 
     def train_step(params, opt_state, inputs, targets):
         loss, grads = jax.value_and_grad(
-            lambda p, i, t: loss_fn(p, i, t, remat=remat)
+            lambda p, i, t: loss_fn(p, i, t, remat=remat, compute_dtype=compute_dtype)
         )(params, inputs, targets)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -102,7 +117,9 @@ def train(
     if mesh is not None:
         params = place(params, gru_param_specs(params), mesh)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(optimizer, mesh, remat=cfg.remat)
+    step_fn = make_train_step(
+        optimizer, mesh, remat=cfg.remat, compute_dtype=cfg.compute_dtype
+    )
 
     manager = None
     if cfg.checkpoint_path:

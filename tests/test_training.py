@@ -68,6 +68,32 @@ def test_trained_model_generates(tmp_path):
     assert text.startswith("the ") and len(text) == 40
 
 
+def test_mixed_precision_training_reduces_loss():
+    """compute_dtype=bfloat16 (master f32 weights) still converges, and its
+    first-step loss agrees with f32 at bf16 tolerance."""
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.training.gru_trainer import loss_fn
+
+    params = gru_textgen.init_params(SMALL, jax.random.PRNGKey(0))
+    ex = _examples()
+    stream = list(batches(ex, DATA, epochs=6))
+
+    # dtype parity at the start (before train() donates the param buffers)
+    inp = jnp.asarray(stream[0][0])
+    tgt = jnp.asarray(stream[0][1])
+    l32 = float(loss_fn(params, inp, tgt))
+    l16 = float(loss_fn(params, inp, tgt, compute_dtype=jnp.bfloat16))
+    np.testing.assert_allclose(l16, l32, rtol=0.03)
+
+    p_bf, hist = train(
+        params, stream,
+        TrainConfig(learning_rate=5e-3, log_every=10, compute_dtype=jnp.bfloat16),
+    )
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.8, (hist[0], hist[-1])
+    assert all(a.dtype == np.float32 for a in jax.tree_util.tree_leaves(p_bf))
+
+
 def test_remat_training_matches_loss():
     """jax.checkpoint'd cell gives the same loss/gradients path (numerically)."""
     import jax.numpy as jnp
