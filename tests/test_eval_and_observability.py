@@ -74,3 +74,26 @@ def test_metrics_logger_stream():
     m.log("decode", tokens_per_s=123.0, batch=8)
     rec = json.loads(buf.getvalue())
     assert rec["event"] == "decode" and rec["tokens_per_s"] == 123.0 and "t" in rec
+
+
+def test_trace_report_parses_device_events(tmp_path):
+    """trace_and_report traces a jitted fn and aggregates per-op rows (CPU
+    traces label the device stream differently from TPU — the parser must
+    degrade gracefully)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.utils.trace_report import (
+        format_report, parse_trace, trace_and_report,
+    )
+
+    f = jax.jit(lambda a: jnp.tanh(a @ a).sum())
+    x = jnp.ones((128, 128))
+    rows = trace_and_report(f, x, reps=3, logdir=str(tmp_path))
+    assert rows, "no events parsed from the trace"
+    assert all(r.total_us >= r.per_call_us > 0 for r in rows[:1])
+    # parse_trace re-reads the same logdir deterministically
+    again = parse_trace(str(tmp_path), reps=3)
+    assert [r.name for r in again] == [r.name for r in rows]
+    table = format_report(rows, top=5)
+    assert "us/call" in table and rows[0].name[:20] in table
