@@ -94,6 +94,22 @@ def gru_decode_roofline(
     return RooflineReport(flops=flops, bytes=bytes_, seconds=seconds_per_step, chip=chip)
 
 
+def gru_training_roofline(
+    batch: int, seq: int, embed: int, units: int, vocab: int, seconds_per_step: float,
+    *, chip: ChipSpec = TPU_V5E,
+) -> RooflineReport:
+    """Per-train-step roofline (fwd + ~2x bwd matmul FLOPs, Adam update).
+
+    Bytes: f32 params read + grad/moment/param writes (5 passes over ~P
+    params) plus bf16 scan activations — a coarse floor; the step is
+    compute-bound at any realistic batch, so the FLOP term dominates SoL.
+    """
+    p = embed * 3 * units + units * 3 * units + units * vocab + vocab * embed
+    flops = 3 * 2.0 * batch * seq * (embed * 3 * units + units * 3 * units + units * vocab)
+    bytes_ = 5 * p * 4 + batch * seq * units * 4 * 2
+    return RooflineReport(flops=flops, bytes=bytes_, seconds=seconds_per_step, chip=chip)
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (stdout-safe: defaults to a file)."""
 

@@ -64,17 +64,18 @@ def main(out_path="PERF.md"):
         "| Config | time/call | throughput | per-step | bound | SoL fraction |",
         "|---|---|---|---|---|---|",
     ]
-    steps = 256
     gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps", "compute_dtype"))
-    for name, batch, fn in [
-        ("GRU q8 scan bf16", 1024,
-         lambda p, l: gen(params, p, l, total_steps=steps, compute_dtype=jnp.bfloat16)),
-        ("GRU q8 fused kernel", 1024,
-         lambda p, l: fused_gru_decode(params, p, l, steps)),
+    for name, batch, steps, fn in [
+        ("GRU q8 scan bf16", 1024, 256,
+         lambda p, l, t: gen(params, p, l, total_steps=t, compute_dtype=jnp.bfloat16)),
+        ("GRU q8 fused kernel", 1024, 256,
+         lambda p, l, t: fused_gru_decode(params, p, l, t)),
+        ("GRU q8 fused kernel", 2048, 512,
+         lambda p, l, t: fused_gru_decode(params, p, l, t)),
     ]:
         prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
         lengths = jnp.full((batch,), 8, jnp.int32)
-        best = timeit(lambda: fn(prompt, lengths))
+        best = timeit(lambda: fn(prompt, lengths, steps))
         per_step = best / steps
         r = gru_decode_roofline(batch, e, u, v, per_step)
         d = r.as_dict()
@@ -104,6 +105,39 @@ def main(out_path="PERF.md"):
             f"{best/128*1e6:.0f} us/img | HBM bandwidth | "
             f"{floor_s/best:.2f} |"
         )
+    # training rows (mixed precision vs the reference-matched f32 config)
+    import optax
+
+    from ggml_experiments_tpu.training.gru_trainer import make_train_step
+    from ggml_experiments_tpu.utils.observability import TPU_V5E, gru_training_roofline
+
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-3)
+    seq = 100
+    for tname, tb, cd, peak in [
+        ("GRU training f32 (reference config)", 64, jnp.float32, TPU_V5E.f32_tflops),
+        ("GRU training bf16 mixed precision", 64, jnp.bfloat16, None),
+        ("GRU training bf16 mixed precision", 1024, jnp.bfloat16, None),
+    ]:
+        tparams = jax.tree_util.tree_map(lambda a: a.copy(), fp)
+        opt_state = opt.init(tparams)
+        step_fn = make_train_step(opt, compute_dtype=cd)
+        inp = jnp.asarray(rng.integers(0, v, (tb, seq)).astype(np.int32))
+        tgt = jnp.asarray(rng.integers(0, v, (tb, seq)).astype(np.int32))
+
+        def one_step():
+            nonlocal tparams, opt_state
+            tparams, opt_state, loss = step_fn(tparams, opt_state, inp, tgt)
+            return loss
+
+        best = timeit(one_step)
+        r = gru_training_roofline(tb, seq, e, u, v, best)
+        lines.append(
+            f"| {tname} (B={tb}, T={seq}) | {best*1e3:.1f} ms | "
+            f"{tb*seq/best:,.0f} tok/s | — | {r.bound(peak)} | "
+            f"{r.speed_of_light_fraction(peak):.2f} |"
+        )
+
     lines.append("")
     lines.append("SoL fraction = achieved / max-achievable given arithmetic intensity "
                  "(utils/observability.py; v5e peaks 197 TF bf16, 819 GB/s HBM). "
