@@ -26,6 +26,7 @@ correctness; the composable scan path remains for sampling/training.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -185,23 +186,7 @@ def _fused_decode_jit(
     return toks, h_out
 
 
-def fused_gru_decode(
-    params,
-    prompt_ids: jax.Array,      # (B, P) int32
-    prompt_lengths: jax.Array,  # (B,) int32
-    total_steps: int,
-    *,
-    compute_dtype=jnp.bfloat16,
-) -> jax.Array:
-    """Greedy decode via the persistent kernel. Semantics identical to
-    models/gru_textgen.generate(temperature=0): returns (B, total_steps)
-    tokens (prompt prefix + generated continuation).
-
-    Requires Q8_0- or Q4_0-quantized cell/dense kernels (the serving
-    configurations); all three weight matrices must share one qtype. Q4_0
-    nibbles are unpacked once during the kernel's VMEM weight setup, so the
-    per-step loop is identical to Q8_0's.
-    """
+def _check_quantized(params) -> str:
     cell = params.cell
     if not (
         isinstance(cell.kernel, QTensor)
@@ -211,18 +196,18 @@ def fused_gru_decode(
         and cell.recurrent_kernel.qtype == cell.kernel.qtype
         and params.dense_kernel.qtype == cell.kernel.qtype
     ):
-        raise ValueError("fused_gru_decode requires q8_0- or q4_0-quantized GRU "
-                         "params with one qtype (load with qtype='q8_0'/'q4_0')")
-    qtype = cell.kernel.qtype
+        raise ValueError("the fused decode kernels require q8_0- or q4_0-quantized "
+                         "GRU params with one qtype (load with qtype='q8_0'/'q4_0')")
+    return cell.kernel.qtype
+
+
+def _prep_weights(params):
+    """Kernel-layout weight operands (shared by offline decode and slot tick)."""
+    cell = params.cell
     v, e = params.embeddings.shape
     u = cell.recurrent_kernel.shape[0]
     g = 3 * u
-    b, p = prompt_ids.shape
-
     vp = _round_up(v, 128)
-    bp = _round_up(b, 128)   # B is a lane dim for the token rows
-    tp = _round_up(total_steps, 8)
-
     ke = _round_up(e, 32)  # K-padding of the input-projection codes
     emb = jnp.zeros((vp, ke), jnp.float32).at[:v, :e].set(params.embeddings)
 
@@ -244,7 +229,32 @@ def fused_gru_decode(
         params.dense_bias if params.dense_bias is not None else jnp.zeros((v,))
     )
     dbias = jnp.zeros((vp, 128), jnp.float32).at[:, 0].set(dbias_rows)
+    return (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp)
 
+
+def fused_gru_decode(
+    params,
+    prompt_ids: jax.Array,      # (B, P) int32
+    prompt_lengths: jax.Array,  # (B,) int32
+    total_steps: int,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Greedy decode via the persistent kernel. Semantics identical to
+    models/gru_textgen.generate(temperature=0): returns (B, total_steps)
+    tokens (prompt prefix + generated continuation).
+
+    Requires Q8_0- or Q4_0-quantized cell/dense kernels (the serving
+    configurations); all three weight matrices must share one qtype. Q4_0
+    nibbles are unpacked once during the kernel's VMEM weight setup, so the
+    per-step loop is identical to Q8_0's.
+    """
+    qtype = _check_quantized(params)
+    b, p = prompt_ids.shape
+    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params)
+
+    bp = _round_up(b, 128)   # B is a lane dim for the token rows
+    tp = _round_up(total_steps, 8)
     prompt = jnp.zeros((tp, bp), jnp.int32)
     prompt = prompt.at[: min(p, tp), :b].set(prompt_ids[:, :tp].swapaxes(0, 1))
     plen = jnp.zeros((8, bp), jnp.int32).at[0, :b].set(prompt_lengths)
@@ -257,3 +267,229 @@ def fused_gru_decode(
         qtype=qtype,
     )
     return toks[:total_steps, :b].swapaxes(0, 1)
+
+
+# ---------------------------------------------------------------------------
+# Resumable slot tick: the serving engine's inner loop on the fused kernel
+# ---------------------------------------------------------------------------
+
+def _tick_kernel(
+    # inputs (weights as in _kernel, then per-slot state)
+    emb_ref, wc_ref, ws_ref, uc_ref, us_ref, bias_ref, dc_ref, ds_ref, dbias_ref,
+    prompt_ref,       # (Pp, B) int32 — prompt buffers, step-major
+    srow_in_ref,      # (8, B) int32; rows 0..3 = prev, pos, total, plen
+    scol_in_ref,      # (B, 128) int32; cols 0/1 = pos, total
+    h_in_ref,         # (B, Ku) f32
+    # outputs
+    toks_ref,         # (Ts, B) int32 — token fed at each of the inner steps
+    srow_out_ref,     # (8, B) int32 — updated prev/pos rows
+    h_out_ref,        # (B, Ku) f32
+    # scratch
+    w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref,
+    *,
+    units: int,
+    inner_steps: int,
+    compute_dtype,
+    qtype: str,
+):
+    """One serving tick: advance every slot ``inner_steps`` tokens, resuming
+    from (h, prev, pos) and honouring per-slot prompt/total cursors.
+
+    Same VMEM-resident design as :func:`_kernel` with two twists:
+
+    * per-slot *prompt* feeding reads ``prompt[pos[b], b]`` — a per-lane
+      dynamic row index, which Mosaic cannot slice — as a masked sublane
+      reduction (``sum(prompt * (iota == pos))``), O(Pp) VPU work per step;
+    * per-slot activity masks are needed in BOTH layouts: row (1, B) for the
+      token stream and column (B, 1) for the state rows. Rather than
+      transposing across lanes each step, pos/total are carried in both
+      layouts (srow/scol scratch) and updated with identical arithmetic.
+    """
+    cd = compute_dtype
+    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+    proj_bf[:] = jnp.dot(
+        emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+    ).astype(cd)
+    h_ref[:] = h_in_ref[:]
+    srow_ref[:] = srow_in_ref[:]
+    scol_ref[:] = scol_in_ref[:]
+
+    pp, b = prompt_ref.shape
+    vp = emb_ref.shape[0]
+    u = units
+    g = 3 * u
+    b0 = bias_ref[0:1, :]
+    b1 = bias_ref[1:2, :]
+    dbias_col = dbias_ref[:, 0:1]                         # (Vp, 1)
+    sub_v = jax.lax.broadcasted_iota(jnp.int32, (vp, b), 0)
+    sub_p = jax.lax.broadcasted_iota(jnp.int32, (pp, b), 0)
+
+    def body(j, _):
+        prev = srow_ref[0:1, :]
+        pos = srow_ref[1:2, :]
+        total = srow_ref[2:3, :]
+        plen = srow_ref[3:4, :]
+        active = pos < total                              # (1, B)
+        # prompt[pos[b], b] as a masked sublane reduction
+        pcur = jnp.sum(
+            jnp.where(sub_p == pos, prompt_ref[:], 0), axis=0, keepdims=True
+        )                                                 # (1, B)
+        tok = jnp.where(pos < plen, pcur, prev)
+        toks_ref[pl.ds(j, 1), :] = tok
+
+        onehot_vb = (sub_v == tok).astype(cd)             # (Vp, B)
+        mx = (
+            jax.lax.dot_general(
+                onehot_vb, proj_bf[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b0
+        )
+        h_full = h_ref[:]                                 # (B, Ku)
+        mh = (
+            jnp.dot(h_full.astype(cd), u_bf[:], preferred_element_type=jnp.float32)[:, :g]
+            + b1
+        )
+        z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
+        r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
+        hh = jnp.tanh(mx[:, 2 * u :] + r * mh[:, 2 * u :])
+        h = z * h_full[:, :u] + (1.0 - z) * hh
+        # column-layout activity mask for the (B, Ku) state rows
+        active_col = scol_ref[:, 0:1] < scol_ref[:, 1:2]  # (B, 1)
+        h = jnp.where(active_col, h, h_full[:, :u])
+        if h_full.shape[1] == u:
+            h_ref[:] = h
+        else:
+            h_ref[:, :u] = h
+
+        logits_vb = jax.lax.dot_general(
+            d_bf[:], h_ref[:].astype(cd), (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + dbias_col
+        m = jnp.max(logits_vb, axis=0, keepdims=True)
+        cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
+        pred = jnp.min(cand, axis=0, keepdims=True)       # (1, B)
+
+        srow_ref[0:1, :] = jnp.where(active, pred, prev)
+        srow_ref[1:2, :] = pos + active.astype(jnp.int32)
+        scol_ref[:, 0:1] = scol_ref[:, 0:1] + active_col.astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, inner_steps, body, 0)
+    toks_pad = toks_ref.shape[0]
+    if toks_pad > inner_steps:
+        toks_ref[pl.ds(inner_steps, toks_pad - inner_steps), :] = jnp.zeros(
+            (toks_pad - inner_steps, b), jnp.int32
+        )
+    srow_out_ref[:] = srow_ref[:]
+    h_out_ref[:] = h_ref[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype")
+)
+def _fused_tick_jit(
+    emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
+    *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
+):
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    kdiv = 2 if qtype == "q4_0" else 1
+    pp, b = prompt.shape
+    vp, ke = emb.shape
+    g = wc.shape[1]
+    ku = uc.shape[0] * kdiv
+    ts = _round_up(inner_steps, 8)
+    kernel = functools.partial(
+        _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd, qtype=qtype
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    toks, srow_out, h_out = pl.pallas_call(
+        kernel,
+        in_specs=[vmem] * 13,
+        out_specs=(vmem, vmem, vmem),
+        out_shape=(
+            jax.ShapeDtypeStruct((ts, b), jnp.int32),
+            jax.ShapeDtypeStruct((8, b), jnp.int32),
+            jax.ShapeDtypeStruct((b, ku), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((ke, g), cd),            # w_bf
+            pltpu.VMEM((ku, g), cd),            # u_bf
+            pltpu.VMEM((ku, vp), cd),           # d_bf
+            pltpu.VMEM((vp, g), cd),            # proj_bf
+            pltpu.VMEM((b, ku), jnp.float32),   # h
+            pltpu.VMEM((8, b), jnp.int32),      # srow (prev/pos/total/plen)
+            pltpu.VMEM((b, 128), jnp.int32),    # scol (pos/total, column layout)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * inner_steps * b * (vp * g + ku * g + ku * vp),
+            bytes_accessed=wc.size + uc.size + dc.size + 4 * (ts * b + b * ku),
+            transcendentals=inner_steps * b * 3 * units,
+        ),
+        interpret=_default_interpret(),
+    )(emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h)
+    return toks, srow_out, h_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner_steps", "compute_dtype_name", "qtype"),
+    donate_argnames=("state",),
+)
+def _fused_slot_tick_jit(params, state, *, inner_steps, compute_dtype_name, qtype):
+    """One-dispatch tick: weight prep + layout glue + kernel + state repack
+    all inside a single jitted program (the glue is on-device-cheap; eagerly
+    it would cost a tunnel dispatch per op)."""
+    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params)
+    b, p = state.prompt.shape
+    bp = _round_up(b, 128)
+    pp = _round_up(p, 8)
+    ku = uc.shape[0] * (2 if qtype == "q4_0" else 1)
+
+    prompt = jnp.zeros((pp, bp), jnp.int32).at[:p, :b].set(state.prompt.swapaxes(0, 1))
+    srow = jnp.zeros((8, bp), jnp.int32)
+    srow = srow.at[0, :b].set(state.prev).at[1, :b].set(state.pos)
+    srow = srow.at[2, :b].set(state.total).at[3, :b].set(state.plen)
+    scol = jnp.zeros((bp, 128), jnp.int32)
+    scol = scol.at[:b, 0].set(state.pos).at[:b, 1].set(state.total)
+    h = jnp.zeros((bp, ku), jnp.float32).at[:b, :u].set(state.h)
+
+    toks, srow_out, h_out = _fused_tick_jit(
+        emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
+        units=u, inner_steps=inner_steps,
+        compute_dtype_name=compute_dtype_name, qtype=qtype,
+    )
+    new_state = dataclasses.replace(
+        state,
+        h=h_out[:b, :u],
+        prev=srow_out[0, :b],
+        pos=srow_out[1, :b],
+    )
+    toks = toks[:inner_steps, :b].swapaxes(0, 1)
+    if v <= 255:
+        toks = toks.astype(jnp.uint8)  # same wire-size trick as the scan tick
+    return new_state, toks
+
+
+def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16):
+    """Advance the serving engine's slot state ``inner_steps`` greedy tokens
+    through the persistent kernel.
+
+    Drop-in device path for ``DecodeEngine``'s scan tick (serving/engine.py
+    ``_slot_scan``): takes and returns the engine's ``SlotState`` (temp is
+    passed through untouched — sampling engines stay on the scan path) plus
+    the (B, inner_steps) tokens fed at each step, uint8-packed when the
+    vocab allows, matching the scan tick's readback contract. Token-exact
+    with the scan tick at matched compute dtype (tested).
+    """
+    qtype = _check_quantized(params)
+    return _fused_slot_tick_jit(
+        params, state, inner_steps=inner_steps,
+        compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
+        qtype=qtype,
+    )

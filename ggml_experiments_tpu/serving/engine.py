@@ -235,6 +235,7 @@ class DecodeEngine:
         seed: int = 0,
         fetch_depth: int = 2,
         max_pending: Optional[int] = None,
+        use_fused_tick: Optional[bool] = None,
     ):
         self.params = params
         self.default_temperature = temperature
@@ -293,6 +294,39 @@ class DecodeEngine:
             donate_argnames=("state",),
             out_shardings=out_shardings[0] if out_shardings else None,
         )
+        # Greedy quantized engines at serving scale tick through the
+        # persistent fused kernel (ops/fused_gru_decode.fused_slot_tick) —
+        # token-exact with the scan tick at matched dtype, ~1.4x faster
+        # device-side at the measured thresholds (B >= 512, inner >= 128,
+        # where the per-call VMEM weight setup amortizes). Sampling engines
+        # and multi-process meshes stay on the scan path.
+        from ggml_experiments_tpu.quant import QTensor
+
+        quantized = (
+            isinstance(params.cell.kernel, QTensor)
+            and isinstance(params.cell.recurrent_kernel, QTensor)
+            and isinstance(params.dense_kernel, QTensor)
+            and params.cell.kernel.qtype in ("q8_0", "q4_0")
+            and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
+            and params.dense_kernel.qtype == params.cell.kernel.qtype
+        )
+        if use_fused_tick is None:
+            use_fused_tick = (
+                not self.sampling_enabled
+                and quantized
+                and n_slots >= 512
+                and inner_steps >= 128
+                and jax.process_count() == 1
+            )
+        elif use_fused_tick:
+            if self.sampling_enabled:
+                raise ValueError("use_fused_tick requires a greedy engine "
+                                 "(the fused tick has no sampling path)")
+            if not quantized:
+                raise ValueError("use_fused_tick requires q8_0/q4_0-quantized "
+                                 "params (one qtype across cell and dense)")
+        self.use_fused_tick = bool(use_fused_tick)
+        self._compute_dtype = compute_dtype
         self.max_pending = max_pending  # submit() backpressure threshold
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
@@ -498,7 +532,17 @@ class DecodeEngine:
         # per-tick seed: deterministic, host-computed, identical on all hosts
         seed = np.int32((int(self._seed) * 1_000_003 + self._tick_count) & 0x7FFFFFFF)
         self._tick_count += 1
-        self.state, toks, _valid = self._scan(self.params, self.state, seed, self.inner_steps)
+        if self.use_fused_tick:
+            from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+
+            self.state, toks = fused_slot_tick(
+                self.params, self.state, self.inner_steps,
+                compute_dtype=self._compute_dtype,
+            )
+        else:
+            self.state, toks, _valid = self._scan(
+                self.params, self.state, seed, self.inner_steps
+            )
         try:
             toks.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without async copies

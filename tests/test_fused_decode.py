@@ -116,3 +116,71 @@ def test_fused_rejects_mixed_qtypes(rng):
     prompt = jnp.zeros((1, 4), jnp.int32)
     with pytest.raises(ValueError, match="one qtype"):
         fused_gru_decode(mixed, prompt, jnp.full((1,), 4, jnp.int32), 8)
+
+
+def test_fused_slot_tick_matches_scan_tick():
+    """fused_slot_tick == _slot_scan token-for-token across resumed ticks,
+    mixed prompt lengths, mid-tick completions and idle slots."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.quant import quantize
+    from ggml_experiments_tpu.serving.engine import _slot_scan, init_state
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=64)
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(3))
+    params = gru_textgen.GRUTextGenParams(
+        embeddings=fp.embeddings,
+        cell=dataclasses.replace(
+            fp.cell,
+            kernel=quantize(np.asarray(fp.cell.kernel), "q8_0"),
+            recurrent_kernel=quantize(np.asarray(fp.cell.recurrent_kernel), "q8_0"),
+        ),
+        dense_kernel=quantize(np.asarray(fp.dense_kernel), "q8_0"),
+        dense_bias=fp.dense_bias,
+    )
+
+    n_slots, max_prompt, inner = 8, 8, 16
+    state = init_state(params, n_slots, max_prompt)
+    rng = np.random.default_rng(0)
+    # slots 0..5 live with varying prompts/totals (slot 3 finishes mid-tick-1,
+    # slot 5 runs out exactly at a tick boundary); 6..7 idle
+    plen = np.array([1, 3, 8, 2, 5, 4, 0, 0], np.int32)
+    total = np.array([40, 25, 33, 10, 16, 32, 0, 0], np.int32)
+    prompt = np.zeros((n_slots, max_prompt), np.int32)
+    for i in range(n_slots):
+        prompt[i, : plen[i]] = rng.integers(1, 66, plen[i])
+    state = dataclasses.replace(
+        state,
+        prompt=jnp.asarray(prompt),
+        plen=jnp.asarray(plen),
+        total=jnp.asarray(total),
+    )
+    s_scan = state
+    s_fused = state
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    for tick in range(3):
+        s_scan, toks_a, valid = scan(
+            params, s_scan, np.int32(tick), inner, compute_dtype=jnp.float32
+        )
+        s_fused, toks_b = fused_slot_tick(
+            params, s_fused, inner, compute_dtype=jnp.float32
+        )
+        va = np.asarray(valid)
+        ta = np.asarray(toks_a)
+        tb = np.asarray(toks_b)
+        assert ta.dtype == tb.dtype == np.uint8
+        np.testing.assert_array_equal(np.where(va, ta, 0), np.where(va, tb, 0),
+                                      err_msg=f"tick {tick}")
+        np.testing.assert_array_equal(np.asarray(s_scan.pos), np.asarray(s_fused.pos))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(s_scan.pos) < total, np.asarray(s_scan.prev), 0),
+            np.where(np.asarray(s_fused.pos) < total, np.asarray(s_fused.prev), 0),
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_scan.h), np.asarray(s_fused.h), atol=2e-5, rtol=2e-5
+        )

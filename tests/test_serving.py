@@ -296,3 +296,39 @@ def test_canceled_requests_not_counted_completed(params):
     assert np.asarray(done_req.result(timeout=1)).size == 12
     assert eng.stats.requests_completed == 1
     assert eng.stats.requests_canceled == 1
+
+
+def test_engine_fused_tick_matches_offline(params):
+    """An engine forced onto the fused tick kernel reproduces offline decode
+    exactly (greedy f32), including slot reuse across many requests."""
+    from ggml_experiments_tpu.quant import quantize as q
+
+    import dataclasses
+
+    qparams = dataclasses.replace(
+        params,
+        cell=dataclasses.replace(
+            params.cell,
+            kernel=q(np.asarray(params.cell.kernel), "q8_0"),
+            recurrent_kernel=q(np.asarray(params.cell.recurrent_kernel), "q8_0"),
+        ),
+        dense_kernel=q(np.asarray(params.dense_kernel), "q8_0"),
+    )
+    eng = DecodeEngine(qparams, n_slots=3, max_prompt=16, inner_steps=8,
+                       use_fused_tick=True)
+    assert eng.use_fused_tick
+    rng = np.random.default_rng(5)
+    specs = []
+    for i in range(9):
+        n = int(rng.integers(1, 8))
+        specs.append((list(rng.integers(1, 66, n)), int(rng.integers(5, 30))))
+    reqs = [eng.submit(p, t) for p, t in specs]
+    eng.run_until_idle()
+    for req, (prompt, new) in zip(reqs, specs):
+        want = offline(qparams, prompt, len(prompt) + new)
+        np.testing.assert_array_equal(req.result(timeout=1), want)
+
+
+def test_engine_fused_tick_guards(params):
+    with pytest.raises(ValueError, match="quantized"):
+        DecodeEngine(params, n_slots=2, max_prompt=8, use_fused_tick=True)
