@@ -274,23 +274,14 @@ def fused_gru_decode(
 # ---------------------------------------------------------------------------
 
 def _tick_kernel(
-    # inputs (weights as in _kernel, then per-slot state)
-    emb_ref, wc_ref, ws_ref, uc_ref, us_ref, bias_ref, dc_ref, ds_ref, dbias_ref,
-    prompt_ref,       # (Pp, B) int32 — prompt buffers, step-major
-    srow_in_ref,      # (8, B) int32; rows 0..3 = prev, pos, total, plen
-    scol_in_ref,      # (B, 128) int32; cols 0/1 = pos, total
-    h_in_ref,         # (B, Ku) f32
-    # outputs
-    toks_ref,         # (Ts, B) int32 — token fed at each of the inner steps
-    srow_out_ref,     # (8, B) int32 — updated prev/pos rows
-    h_out_ref,        # (B, Ku) f32
-    # scratch
-    w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref,
-    *,
+    # inputs (weights as in _kernel, then per-slot state; with sampling two
+    # extra operands follow h: ftemp (8, B) f32 and seed (1,) int32 in SMEM)
+    *refs,
     units: int,
     inner_steps: int,
     compute_dtype,
     qtype: str,
+    enable_sampling: bool = False,
 ):
     """One serving tick: advance every slot ``inner_steps`` tokens, resuming
     from (h, prev, pos) and honouring per-slot prompt/total cursors.
@@ -304,8 +295,24 @@ def _tick_kernel(
       token stream and column (B, 1) for the state rows. Rather than
       transposing across lanes each step, pos/total are carried in both
       layouts (srow/scol scratch) and updated with identical arithmetic.
+
+    ``enable_sampling`` adds per-slot temperature sampling via the on-core
+    PRNG and the Gumbel-argmax identity (categorical(softmax(l/t)) ==
+    argmax(l/t + gumbel)): the (Vp, B) noise never exists outside VMEM and
+    the sampled argmax reuses the greedy min-index reduction. temp <= 0
+    slots stay exactly greedy. TPU-only (pltpu.prng_* has no interpret
+    lowering), so sampling engines fall back to the scan tick off-TPU.
     """
+    (emb_ref, wc_ref, ws_ref, uc_ref, us_ref, bias_ref, dc_ref, ds_ref,
+     dbias_ref, prompt_ref, srow_in_ref, scol_in_ref, h_in_ref) = refs[:13]
+    n_in = 15 if enable_sampling else 13
+    if enable_sampling:
+        ftemp_ref, seed_ref = refs[13:15]
+    toks_ref, srow_out_ref, h_out_ref = refs[n_in:n_in + 3]
+    w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
+    if enable_sampling:
+        pltpu.prng_seed(seed_ref[0])
     _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
     _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
     _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
@@ -370,7 +377,21 @@ def _tick_kernel(
         ) + dbias_col
         m = jnp.max(logits_vb, axis=0, keepdims=True)
         cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
-        pred = jnp.min(cand, axis=0, keepdims=True)       # (1, B)
+        pred = jnp.min(cand, axis=0, keepdims=True)       # (1, B) greedy
+        if enable_sampling:
+            temp = ftemp_ref[0:1, :]                      # (1, B)
+            inv_t = 1.0 / jnp.maximum(temp, 1e-6)
+            bits = pltpu.prng_random_bits((vp, b))
+            u01 = (
+                jax.lax.shift_right_logical(bits, 8).astype(jnp.int32).astype(jnp.float32)
+                + 0.5
+            ) * (1.0 / (1 << 24))                         # (0, 1) exclusive
+            gumbel = -jnp.log(-jnp.log(u01))
+            scored = logits_vb * inv_t + gumbel           # NEG pad rows never win
+            ms = jnp.max(scored, axis=0, keepdims=True)
+            cand_s = jnp.where(scored == ms, sub_v, jnp.int32(2**30))
+            sampled = jnp.min(cand_s, axis=0, keepdims=True)
+            pred = jnp.where(temp > 0.0, sampled, pred)
 
         srow_ref[0:1, :] = jnp.where(active, pred, prev)
         srow_ref[1:2, :] = pos + active.astype(jnp.int32)
@@ -388,11 +409,15 @@ def _tick_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype")
+    jax.jit,
+    static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype",
+                     "enable_sampling"),
 )
 def _fused_tick_jit(
     emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
+    ftemp=None, seed=None,
     *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
+    enable_sampling: bool = False,
 ):
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     kdiv = 2 if qtype == "q4_0" else 1
@@ -402,12 +427,18 @@ def _fused_tick_jit(
     ku = uc.shape[0] * kdiv
     ts = _round_up(inner_steps, 8)
     kernel = functools.partial(
-        _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd, qtype=qtype
+        _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd,
+        qtype=qtype, enable_sampling=enable_sampling,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    operands = [emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h]
+    in_specs = [vmem] * 13
+    if enable_sampling:
+        operands += [ftemp, seed]
+        in_specs += [vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
     toks, srow_out, h_out = pl.pallas_call(
         kernel,
-        in_specs=[vmem] * 13,
+        in_specs=in_specs,
         out_specs=(vmem, vmem, vmem),
         out_shape=(
             jax.ShapeDtypeStruct((ts, b), jnp.int32),
@@ -432,16 +463,17 @@ def _fused_tick_jit(
             transcendentals=inner_steps * b * 3 * units,
         ),
         interpret=_default_interpret(),
-    )(emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h)
+    )(*operands)
     return toks, srow_out, h_out
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inner_steps", "compute_dtype_name", "qtype"),
+    static_argnames=("inner_steps", "compute_dtype_name", "qtype", "enable_sampling"),
     donate_argnames=("state",),
 )
-def _fused_slot_tick_jit(params, state, *, inner_steps, compute_dtype_name, qtype):
+def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name,
+                         qtype, enable_sampling):
     """One-dispatch tick: weight prep + layout glue + kernel + state repack
     all inside a single jitted program (the glue is on-device-cheap; eagerly
     it would cost a tunnel dispatch per op)."""
@@ -459,10 +491,17 @@ def _fused_slot_tick_jit(params, state, *, inner_steps, compute_dtype_name, qtyp
     scol = scol.at[:b, 0].set(state.pos).at[:b, 1].set(state.total)
     h = jnp.zeros((bp, ku), jnp.float32).at[:b, :u].set(state.h)
 
+    extra = {}
+    if enable_sampling:
+        extra = dict(
+            ftemp=jnp.zeros((8, bp), jnp.float32).at[0, :b].set(state.temp),
+            seed=jnp.reshape(seed.astype(jnp.int32), (1,)),
+        )
     toks, srow_out, h_out = _fused_tick_jit(
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
         units=u, inner_steps=inner_steps,
         compute_dtype_name=compute_dtype_name, qtype=qtype,
+        enable_sampling=enable_sampling, **extra,
     )
     new_state = dataclasses.replace(
         state,
@@ -476,20 +515,27 @@ def _fused_slot_tick_jit(params, state, *, inner_steps, compute_dtype_name, qtyp
     return new_state, toks
 
 
-def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16):
-    """Advance the serving engine's slot state ``inner_steps`` greedy tokens
+def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16,
+                    enable_sampling: bool = False, seed=0):
+    """Advance the serving engine's slot state ``inner_steps`` tokens
     through the persistent kernel.
 
     Drop-in device path for ``DecodeEngine``'s scan tick (serving/engine.py
-    ``_slot_scan``): takes and returns the engine's ``SlotState`` (temp is
-    passed through untouched — sampling engines stay on the scan path) plus
-    the (B, inner_steps) tokens fed at each step, uint8-packed when the
-    vocab allows, matching the scan tick's readback contract. Token-exact
-    with the scan tick at matched compute dtype (tested).
+    ``_slot_scan``): takes and returns the engine's ``SlotState`` plus the
+    (B, inner_steps) tokens fed at each step, uint8-packed when the vocab
+    allows, matching the scan tick's readback contract. Greedy is
+    token-exact with the scan tick at matched compute dtype (tested).
+
+    ``enable_sampling=True`` samples slots with ``state.temp > 0`` at their
+    temperature via in-kernel Gumbel-argmax (TPU-only: the on-core PRNG has
+    no interpret lowering; temp <= 0 slots stay exactly greedy). ``seed``
+    reseeds the PRNG per tick — pass the engine's deterministic tick seed.
+    The sample stream differs from the scan tick's jax.random stream; both
+    are valid draws from the same per-step distribution.
     """
     qtype = _check_quantized(params)
     return _fused_slot_tick_jit(
-        params, state, inner_steps=inner_steps,
+        params, state, jnp.asarray(seed, jnp.int32), inner_steps=inner_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
-        qtype=qtype,
+        qtype=qtype, enable_sampling=enable_sampling,
     )

@@ -294,12 +294,15 @@ class DecodeEngine:
             donate_argnames=("state",),
             out_shardings=out_shardings[0] if out_shardings else None,
         )
-        # Greedy quantized engines at serving scale tick through the
-        # persistent fused kernel (ops/fused_gru_decode.fused_slot_tick) —
-        # token-exact with the scan tick at matched dtype, ~1.4x faster
+        # Quantized engines at serving scale tick through the persistent
+        # fused kernel (ops/fused_gru_decode.fused_slot_tick) — token-exact
+        # with the scan tick at matched dtype for greedy, ~1.8x faster
         # device-side at the measured thresholds (B >= 512, inner >= 128,
-        # where the per-call VMEM weight setup amortizes). Sampling engines
-        # and multi-process meshes stay on the scan path.
+        # where the per-call VMEM weight setup amortizes). Temperature
+        # sampling runs in-kernel too (Gumbel-argmax on the on-core PRNG) —
+        # TPU-only, since pltpu.prng_* has no interpret lowering — but
+        # top_k/top_p filtering and multi-process meshes stay on the scan
+        # path.
         from ggml_experiments_tpu.quant import QTensor
 
         quantized = (
@@ -310,18 +313,28 @@ class DecodeEngine:
             and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
             and params.dense_kernel.qtype == params.cell.kernel.qtype
         )
+        try:
+            on_tpu = jax.default_backend() != "cpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        sampling_fusable = not self.sampling_enabled or (
+            on_tpu and top_k is None and top_p is None
+        )
         if use_fused_tick is None:
             use_fused_tick = (
-                not self.sampling_enabled
-                and quantized
+                quantized
+                and sampling_fusable
                 and n_slots >= 512
                 and inner_steps >= 128
                 and jax.process_count() == 1
             )
         elif use_fused_tick:
-            if self.sampling_enabled:
-                raise ValueError("use_fused_tick requires a greedy engine "
-                                 "(the fused tick has no sampling path)")
+            if self.sampling_enabled and (top_k is not None or top_p is not None):
+                raise ValueError("use_fused_tick has no top_k/top_p path — "
+                                 "filtered sampling requires the scan tick")
+            if self.sampling_enabled and not on_tpu:
+                raise ValueError("sampled use_fused_tick needs a TPU backend "
+                                 "(the in-kernel PRNG has no interpret mode)")
             if not quantized:
                 raise ValueError("use_fused_tick requires q8_0/q4_0-quantized "
                                  "params (one qtype across cell and dense)")
@@ -538,6 +551,7 @@ class DecodeEngine:
             self.state, toks = fused_slot_tick(
                 self.params, self.state, self.inner_steps,
                 compute_dtype=self._compute_dtype,
+                enable_sampling=self.sampling_enabled, seed=seed,
             )
         else:
             self.state, toks, _valid = self._scan(

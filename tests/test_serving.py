@@ -332,3 +332,30 @@ def test_engine_fused_tick_matches_offline(params):
 def test_engine_fused_tick_guards(params):
     with pytest.raises(ValueError, match="quantized"):
         DecodeEngine(params, n_slots=2, max_prompt=8, use_fused_tick=True)
+
+
+def test_fused_tick_sampling_guards_on_cpu(params):
+    """In-kernel sampling is TPU-only: forcing it on CPU raises; auto keeps
+    sampling engines on the scan tick off-TPU."""
+    from ggml_experiments_tpu.quant import quantize as q
+
+    import dataclasses
+
+    qparams = dataclasses.replace(
+        params,
+        cell=dataclasses.replace(
+            params.cell,
+            kernel=q(np.asarray(params.cell.kernel), "q8_0"),
+            recurrent_kernel=q(np.asarray(params.cell.recurrent_kernel), "q8_0"),
+        ),
+        dense_kernel=q(np.asarray(params.dense_kernel), "q8_0"),
+    )
+    with pytest.raises(ValueError, match="TPU backend"):
+        DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
+                     use_fused_tick=True)
+    with pytest.raises(ValueError, match="top_k"):
+        DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
+                     top_k=5, use_fused_tick=True)
+    eng = DecodeEngine(qparams, n_slots=512, max_prompt=8, inner_steps=128,
+                       temperature=0.8)
+    assert not eng.use_fused_tick  # auto: sampling + CPU backend -> scan
