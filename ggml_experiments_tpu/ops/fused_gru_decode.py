@@ -47,6 +47,52 @@ def _dequant_to(codes, scales, out_ref, dtype, qtype):
     out_ref[:] = w.astype(dtype)
 
 
+def _gru_step(tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
+              *, units, compute_dtype, active_col=None):
+    """One decode step shared by the offline kernel and the serving tick:
+    one-hot input projection -> gates -> state update (optionally masked by
+    the (B, 1) ``active_col``) -> transposed logits -> greedy (1, B) argmax.
+    Mutates ``h_ref`` in place; returns (pred, logits_vb)."""
+    cd = compute_dtype
+    u = units
+    g = 3 * u
+    onehot_vb = (sub_v == tok).astype(cd)                 # (Vp, B)
+    # mx (B, G) = onehot^T · proj   (contract the sublane Vp dim) — the
+    # projected-row gather as one small matmul
+    mx = (
+        jax.lax.dot_general(
+            onehot_vb, proj_bf[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b0
+    )
+    h_full = h_ref[:]                                     # (B, Ku); pad cols stay 0
+    mh = (
+        jnp.dot(h_full.astype(cd), u_bf[:], preferred_element_type=jnp.float32)[:, :g]
+        + b1
+    )
+    z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
+    r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
+    hh = jnp.tanh(mx[:, 2 * u :] + r * mh[:, 2 * u :])
+    h = z * h_full[:, :u] + (1.0 - z) * hh
+    if active_col is not None:
+        h = jnp.where(active_col, h, h_full[:, :u])
+    if h_full.shape[1] == u:
+        h_ref[:] = h
+    else:
+        h_ref[:, :u] = h
+
+    # logits transposed: (Vp, B) = d_bf^T · h^T  — contract Ku on both
+    logits_vb = jax.lax.dot_general(
+        d_bf[:], h_ref[:].astype(cd), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + dbias_col                                          # pad rows get NEG bias
+    m = jnp.max(logits_vb, axis=0, keepdims=True)          # (1, B)
+    cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
+    pred = jnp.min(cand, axis=0, keepdims=True)            # first argmax, TF-style
+    return pred, logits_vb
+
+
 def _kernel(
     # inputs
     emb_ref,          # (Vp, Ke) f32
@@ -86,7 +132,6 @@ def _kernel(
     b = prompt_ref.shape[1]
     vp = emb_ref.shape[0]
     u = units                 # logical units; Ku >= u is the K-padded width
-    g = 3 * u
     b0 = bias_ref[0:1, :]
     b1 = bias_ref[1:2, :]
     plen = plen_ref[0:1, :]                               # (1, B)
@@ -97,39 +142,11 @@ def _kernel(
         pj = prompt_ref[pl.ds(j, 1), :]                   # (1, B)
         tok = jnp.where(j < plen, pj, prev_ref[:])        # (1, B)
         toks_ref[pl.ds(j, 1), :] = tok
-
-        onehot_vb = (sub_v == tok).astype(cd)             # (Vp, B)
-        # mx (B, G) = onehot^T · proj   (contract the sublane Vp dim) — the
-        # projected-row gather as one small matmul
-        mx = (
-            jax.lax.dot_general(
-                onehot_vb, proj_bf[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b0
+        pred, _ = _gru_step(
+            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
+            units=u, compute_dtype=cd,
         )
-        h_full = h_ref[:]                                 # (B, Ku); pad cols stay 0
-        mh = (
-            jnp.dot(h_full.astype(cd), u_bf[:], preferred_element_type=jnp.float32)[:, :g]
-            + b1
-        )
-        z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
-        r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
-        hh = jnp.tanh(mx[:, 2 * u :] + r * mh[:, 2 * u :])
-        h = z * h_full[:, :u] + (1.0 - z) * hh
-        if h_full.shape[1] == u:
-            h_ref[:] = h
-        else:
-            h_ref[:, :u] = h
-
-        # logits transposed: (Vp, B) = d_bf^T · h^T  — contract Ku on both
-        logits_vb = jax.lax.dot_general(
-            d_bf[:], h_ref[:].astype(cd), (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + dbias_col                                      # pad rows get NEG bias
-        m = jnp.max(logits_vb, axis=0, keepdims=True)      # (1, B)
-        cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
-        prev_ref[:] = jnp.min(cand, axis=0, keepdims=True)  # first argmax, TF-style
+        prev_ref[:] = pred
         return 0
 
     jax.lax.fori_loop(0, total_steps, body, 0)
@@ -186,19 +203,25 @@ def _fused_decode_jit(
     return toks, h_out
 
 
-def _check_quantized(params) -> str:
+def is_fusable_params(params) -> bool:
+    """True iff the fused decode kernels can run these GRU params: all three
+    weight matrices QTensors of one shared q8_0/q4_0 qtype."""
     cell = params.cell
-    if not (
+    return (
         isinstance(cell.kernel, QTensor)
         and isinstance(cell.recurrent_kernel, QTensor)
         and isinstance(params.dense_kernel, QTensor)
         and cell.kernel.qtype in ("q8_0", "q4_0")
         and cell.recurrent_kernel.qtype == cell.kernel.qtype
         and params.dense_kernel.qtype == cell.kernel.qtype
-    ):
+    )
+
+
+def _check_quantized(params) -> str:
+    if not is_fusable_params(params):
         raise ValueError("the fused decode kernels require q8_0- or q4_0-quantized "
                          "GRU params with one qtype (load with qtype='q8_0'/'q4_0')")
-    return cell.kernel.qtype
+    return params.cell.kernel.qtype
 
 
 def _prep_weights(params):
@@ -326,7 +349,6 @@ def _tick_kernel(
     pp, b = prompt_ref.shape
     vp = emb_ref.shape[0]
     u = units
-    g = 3 * u
     b0 = bias_ref[0:1, :]
     b1 = bias_ref[1:2, :]
     dbias_col = dbias_ref[:, 0:1]                         # (Vp, 1)
@@ -345,39 +367,12 @@ def _tick_kernel(
         )                                                 # (1, B)
         tok = jnp.where(pos < plen, pcur, prev)
         toks_ref[pl.ds(j, 1), :] = tok
-
-        onehot_vb = (sub_v == tok).astype(cd)             # (Vp, B)
-        mx = (
-            jax.lax.dot_general(
-                onehot_vb, proj_bf[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b0
-        )
-        h_full = h_ref[:]                                 # (B, Ku)
-        mh = (
-            jnp.dot(h_full.astype(cd), u_bf[:], preferred_element_type=jnp.float32)[:, :g]
-            + b1
-        )
-        z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
-        r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
-        hh = jnp.tanh(mx[:, 2 * u :] + r * mh[:, 2 * u :])
-        h = z * h_full[:, :u] + (1.0 - z) * hh
         # column-layout activity mask for the (B, Ku) state rows
         active_col = scol_ref[:, 0:1] < scol_ref[:, 1:2]  # (B, 1)
-        h = jnp.where(active_col, h, h_full[:, :u])
-        if h_full.shape[1] == u:
-            h_ref[:] = h
-        else:
-            h_ref[:, :u] = h
-
-        logits_vb = jax.lax.dot_general(
-            d_bf[:], h_ref[:].astype(cd), (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + dbias_col
-        m = jnp.max(logits_vb, axis=0, keepdims=True)
-        cand = jnp.where(logits_vb == m, sub_v, jnp.int32(2**30))
-        pred = jnp.min(cand, axis=0, keepdims=True)       # (1, B) greedy
+        pred, logits_vb = _gru_step(
+            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
+            units=u, compute_dtype=cd, active_col=active_col,
+        )
         if enable_sampling:
             temp = ftemp_ref[0:1, :]                      # (1, B)
             inv_t = 1.0 / jnp.maximum(temp, 1e-6)

@@ -303,26 +303,22 @@ class DecodeEngine:
         # TPU-only, since pltpu.prng_* has no interpret lowering — but
         # top_k/top_p filtering and multi-process meshes stay on the scan
         # path.
-        from ggml_experiments_tpu.quant import QTensor
+        from ggml_experiments_tpu.ops.fused_gru_decode import is_fusable_params
 
-        quantized = (
-            isinstance(params.cell.kernel, QTensor)
-            and isinstance(params.cell.recurrent_kernel, QTensor)
-            and isinstance(params.dense_kernel, QTensor)
-            and params.cell.kernel.qtype in ("q8_0", "q4_0")
-            and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
-            and params.dense_kernel.qtype == params.cell.kernel.qtype
-        )
+        quantized = is_fusable_params(params)
         try:
-            on_tpu = jax.default_backend() != "cpu"
+            on_tpu = jax.default_backend() == "tpu"  # not gpu/cpu: Mosaic only
         except Exception:  # pragma: no cover
             on_tpu = False
         sampling_fusable = not self.sampling_enabled or (
             on_tpu and top_k is None and top_p is None
         )
         if use_fused_tick is None:
+            # auto only on real TPUs: off-TPU the kernel would run under the
+            # Pallas interpreter (or not lower at all), far slower than scan
             use_fused_tick = (
                 quantized
+                and on_tpu
                 and sampling_fusable
                 and n_slots >= 512
                 and inner_steps >= 128
@@ -338,6 +334,9 @@ class DecodeEngine:
             if not quantized:
                 raise ValueError("use_fused_tick requires q8_0/q4_0-quantized "
                                  "params (one qtype across cell and dense)")
+            if jax.process_count() > 1:
+                raise ValueError("use_fused_tick has no multi-process path — "
+                                 "multi-host engines tick through the scan")
         self.use_fused_tick = bool(use_fused_tick)
         self._compute_dtype = compute_dtype
         self.max_pending = max_pending  # submit() backpressure threshold

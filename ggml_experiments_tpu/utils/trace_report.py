@@ -93,7 +93,8 @@ def format_report(rows: List[OpTime], *, top: int = 25, min_us: float = 0.0) -> 
     rest = rows[top:]
     if rest:
         rest_us = sum(r.total_us for r in rest)
-        lines.append(f"{rest_us / max(rows[0].count, 1):10.1f}  "
+        rest_per_call = sum(r.per_call_us for r in rest)
+        lines.append(f"{rest_per_call:10.1f}  "
                      f"{100.0 * rest_us / grand if grand else 0.0:5.1f}  "
                      f"{sum(r.count for r in rest):5d}  (+{len(rest)} more ops)")
     return "\n".join(lines)
