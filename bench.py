@@ -228,12 +228,20 @@ def main():
 
             eng = DecodeEngine(params, n_slots=1024, max_prompt=16, inner_steps=128,
                                compute_dtype=jnp.bfloat16, fetch_depth=8)
+            # warm the tick program (compile happens on the first tick; the
+            # recorded number is the warm serving throughput)
+            for i in range(64):
+                eng.submit(rng.integers(0, v, 8).astype(np.int32), 120)
+            eng.run_until_idle(timeout_s=1200)
+            eng.stats.tokens_generated = 0
+            eng.stats.device_steps = 0
             for i in range(2048):
                 eng.submit(rng.integers(0, v, 8).astype(np.int32), 292)
             t0 = time.perf_counter()
             eng.run_until_idle(timeout_s=1200)
             wall = time.perf_counter() - t0
-            log(f"TPU q8_0 serving (1024 slots, inner 128): "
+            log(f"TPU q8_0 serving (1024 slots, inner 128, "
+                f"{'fused' if eng.use_fused_tick else 'scan'} tick): "
                 f"{eng.stats.tokens_generated:,} tokens end-to-end {wall:.2f}s -> "
                 f"{eng.stats.tokens_generated/wall:,.0f} tokens/s/chip "
                 f"(incl host queueing + token readback)")
