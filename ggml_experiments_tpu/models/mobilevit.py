@@ -76,8 +76,17 @@ class InvertedResidualParams:
         cd = dict(compute_dtype=compute_dtype)
         # stride-2 blocks stay on XLA: Mosaic rejects the kernel's strided
         # depthwise taps (sublane-strided slices), and the downsamplers'
-        # traffic is a small fraction of the stride-1 stages'
-        if self.fused and compute_dtype == jnp.bfloat16 and self.conv_3x3.stride == 1:
+        # traffic is a small fraction of the stride-1 stages'. Blocks whose
+        # expanded width is under the 128-lane width also stay on XLA — at
+        # E=64 (layer_1) the kernel runs half-empty lanes and measures 1.8x
+        # slower than the unfused chain, while at E=256 (layer_2) it wins
+        # 1.25x.
+        if (
+            self.fused
+            and compute_dtype == jnp.bfloat16
+            and self.conv_3x3.stride == 1
+            and self.expand_1x1.kernel.shape[-1] >= 128
+        ):
             from ggml_experiments_tpu.ops.fused_inverted_residual import (
                 inverted_residual_fused,
             )
