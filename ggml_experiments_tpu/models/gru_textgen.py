@@ -27,6 +27,7 @@ from ggml_experiments_tpu.ops.gru import (
     gru_cell,
     gru_combine,
     gru_sequence,
+    gru_sequence_time_major,
     input_projection,
     recurrent_projection,
 )
@@ -101,23 +102,36 @@ def forward_sequence(
     *,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    time_major: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Teacher-forced full-sequence forward (training path).
 
     token_ids: (B, T) int32 -> (logits (B, T, V), final state (B, U)).
+    With ``time_major=True``, token_ids are (T, B) and logits come back
+    (T, B, V): the sequential loop's natural layout — only the tiny int32
+    ids get transposed by the caller, never the (T, B, 3U) projection or the
+    (T, B, U) states (the training loss is what uses this; see
+    training/gru_trainer.loss_fn).
 
-    Only the recurrent projection runs inside the scan; the input projection
-    and the vocab head are whole-sequence matmuls (large, MXU-friendly).
-    ``remat`` rematerializes the cell on backward (memory-bound training).
+    Only the recurrent projection runs inside the time loop; the input
+    projection and the vocab head are whole-sequence matmuls (large,
+    MXU-friendly). On TPU in bfloat16 the loop itself runs as the persistent
+    fused kernel pair (ops/fused_gru_train.py). ``remat`` rematerializes the
+    scan cell on backward (memory-bound training).
     """
-    b = token_ids.shape[0]
+    b = token_ids.shape[1] if time_major else token_ids.shape[0]
     h = init_state(params, b) if h0 is None else h0
-    xs = embedding_lookup(params.embeddings, token_ids)        # (B, T, E)
-    ys, h_last = gru_sequence(
-        params.cell, xs, h, compute_dtype=compute_dtype, remat=remat
-    )
+    xs = embedding_lookup(params.embeddings, token_ids)        # (..., E)
+    if time_major:
+        ys, h_last = gru_sequence_time_major(
+            params.cell, xs, h, compute_dtype=compute_dtype, remat=remat
+        )
+    else:
+        ys, h_last = gru_sequence(
+            params.cell, xs, h, compute_dtype=compute_dtype, remat=remat
+        )
     logits = linear(ys, params.dense_kernel, params.dense_bias,
-                    compute_dtype=compute_dtype)               # (B, T, V)
+                    compute_dtype=compute_dtype)               # (..., V)
     return logits, h_last
 
 

@@ -1,0 +1,278 @@
+"""Fused GRU training-sequence Pallas kernels (forward + backward, custom VJP).
+
+The training counterpart of ops/fused_gru_decode.py — the cuDNN-RNN design,
+TPU-style. The reference trains its GRU through Keras on accelerators-unknown
+(/root/reference/rnn_text_gen/rnn_text_generation.py:79-99); the JAX scan path
+(ops/gru.gru_sequence) is the faithful re-design, but at training batch it is
+HBM-bound on per-step intermediates: the device trace at B=1024/T=100/U=1024
+shows 88 us/step forward vs the 33 us recurrent-matmul floor, with the gap in
+scan stacking (dynamic-update-slice), gate-math fusions re-reading (B, 3U)
+tensors from HBM, and bf16<->f32 converts.
+
+These kernels run the whole time loop on-core:
+
+* forward: grid (B-tiles, T); the hidden state lives in a VMEM scratch for
+  the entire sequence; each step streams one (Bt, 3U) input-projection block
+  in and one (Bt, U) state block out (the minimum possible HBM traffic — the
+  states ARE the layer output and the backward residuals).
+* backward: same grid, time reversed via the index maps. Gates are
+  rematerialized from the forward states (one extra recurrent matmul instead
+  of storing (B, 3U) gate tensors — the jax.checkpoint policy, in-kernel),
+  the dL/dh carry lives in VMEM, and the weight gradient accumulates into a
+  VMEM-resident f32 output block across all grid steps, written to HBM once.
+
+Everything is lane-aligned by construction (U a multiple of 128 is required
+for the in-kernel [z | r | h] gate splits); f32 gate math off the MXU's f32
+accumulators, bf16 storage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
+
+_VMEM_BUDGET = 72 << 20  # leave headroom for Mosaic temporaries
+
+
+def _gates(mx, mh, u):
+    """Reset-after gate math in f32: returns (z, r, g, mh_h)."""
+    z = jax.nn.sigmoid(mx[:, :u] + mh[:, :u])
+    r = jax.nn.sigmoid(mx[:, u : 2 * u] + mh[:, u : 2 * u])
+    mh_h = mh[:, 2 * u :]
+    g = jnp.tanh(mx[:, 2 * u :] + r * mh_h)
+    return z, r, g, mh_h
+
+
+def _fwd_kernel(mx_ref, h0_ref, wr_ref, brec_ref, ys_ref, h_scr, *, compute_dtype):
+    t = pl.program_id(1)
+    u = h0_ref.shape[-1]
+    cd = compute_dtype
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    mh = jax.lax.dot_general(
+        h, wr_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) + brec_ref[0]
+    z, _, g, _ = _gates(mx_ref[0].astype(jnp.float32), mh, u)
+    h_new = (z * h.astype(jnp.float32) + (1.0 - z) * g).astype(cd)
+    h_scr[:] = h_new
+    ys_ref[0] = h_new
+
+
+def _bwd_kernel(
+    mx_ref,      # (1, Bt, 3U) at time t
+    ys_ref,      # (1, Bt, U)  h_t
+    ysp_ref,     # (1, Bt, U)  h_{t-1} (block t-1; garbage at t=0, masked)
+    dys_ref,     # (1, Bt, U)  dL/dh_t (direct, from the stacked outputs)
+    h0_ref,      # (Bt, U)
+    wr_ref,      # (U, 3U) compute dtype
+    brec_ref,    # (1, 3U) f32
+    dmx_ref,     # out (1, Bt, 3U) compute dtype
+    dwr_ref,     # out (U, 3U) f32 — VMEM accumulator, constant index map
+    dbrec_ref,   # out (1, 3U) f32 — accumulator
+    dh0_ref,     # out (Bt, U) f32
+    dh_scr,      # scratch (Bt, U) f32 — the backward carry
+    *,
+    compute_dtype,
+):
+    s = pl.program_id(1)           # reversed step: t = T-1-s
+    nt = pl.num_programs(1)
+    t = nt - 1 - s
+    u = h0_ref.shape[-1]
+    cd = compute_dtype
+
+    @pl.when(s == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+
+    @pl.when((s == 0) & (pl.program_id(0) == 0))
+    def _():
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
+        dbrec_ref[:] = jnp.zeros_like(dbrec_ref)
+
+    is_first = (t == 0)
+    h_prev = jnp.where(is_first, h0_ref[:], ysp_ref[0]).astype(cd)
+
+    # rematerialize the forward gates (checkpoint policy, in-kernel)
+    mh = jax.lax.dot_general(
+        h_prev, wr_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + brec_ref[0]
+    z, r, g, mh_h = _gates(mx_ref[0].astype(jnp.float32), mh, u)
+
+    dh_total = dys_ref[0].astype(jnp.float32) + dh_scr[:]
+    hp32 = h_prev.astype(jnp.float32)
+    dz = dh_total * (hp32 - g)
+    da = (dh_total * (1.0 - z)) * (1.0 - g * g)      # tanh'
+    dr = da * mh_h
+    daz = dz * z * (1.0 - z)                          # sigmoid'
+    dar = dr * r * (1.0 - r)
+
+    dmx = jnp.concatenate([daz, dar, da], axis=1)     # (Bt, 3U)
+    dmh = jnp.concatenate([daz, dar, da * r], axis=1)
+    dmx_ref[0] = dmx.astype(cd)
+
+    dmh_c = dmh.astype(cd)
+    # carry: dL/dh_{t-1} = direct path + through the recurrent projection
+    dh_prev = dh_total * z + jax.lax.dot_general(
+        dmh_c, wr_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh_scr[:] = dh_prev
+
+    # weight/bias grads accumulate in VMEM across every (b-tile, t) step
+    dwr_ref[:] += jax.lax.dot_general(
+        h_prev, dmh_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbrec_ref[:] += jnp.sum(dmh, axis=0, keepdims=True)
+
+    @pl.when(s == nt - 1)
+    def _():
+        dh0_ref[:] = dh_prev
+
+
+def _pick_batch_tile(b: int, u: int, *, backward: bool) -> int:
+    """Largest divisor of b whose per-step working set fits the budget."""
+    # dominant f32 temporaries per batch row: gates/dmx/dmh chains (~9x 3U
+    # forward, ~16x 3U backward) plus the bf16 blocks
+    per_row = (16 if backward else 9) * 3 * u * 4 + 8 * u * 2
+    fixed = 2 * u * 3 * u * 4 + u * 3 * u * 2  # dwr f32 + wr bf16 (+slack)
+    bt = max(1, (_VMEM_BUDGET - fixed) // max(per_row, 1))
+    bt = min(bt, b)
+    while b % bt:
+        bt -= 1
+    return bt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_gru_scan(mxs, h0, wr, brec, compute_dtype=jnp.bfloat16, interpret=None):
+    """Time-major fused GRU sequence: mxs (T, B, 3U) -> states ys (T, B, U).
+
+    ``mxs`` is the biased input projection for every step (computed outside —
+    one big MXU matmul); ``h0`` (B, U); ``wr`` (U, 3U) recurrent kernel;
+    ``brec`` (3U,) recurrent bias. Differentiable in all four via the fused
+    backward kernel. U must be a multiple of 128 on real TPU (in-kernel gate
+    splits are lane slices); any U works in interpret mode.
+    """
+    ys, _ = _fwd(mxs, h0, wr, brec, compute_dtype, interpret)
+    return ys
+
+
+def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
+    t, b, u3 = mxs.shape
+    u = u3 // 3
+    cd = compute_dtype
+    bt = _pick_batch_tile(b, u, backward=False)
+    ys = pl.pallas_call(
+        functools.partial(_fwd_kernel, compute_dtype=cd),
+        grid=(b // bt, t),
+        in_specs=[
+            pl.BlockSpec((1, bt, u3), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, u), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, u), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, b, u), cd),
+        scratch_shapes=[pltpu.VMEM((bt, u), cd)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * b * u * u3,
+            bytes_accessed=mxs.size * 2 + t * b * u * 2,
+            transcendentals=3 * t * b * u,
+        ),
+        interpret=_default_interpret() if interpret is None else interpret,
+    )(
+        mxs.astype(cd),
+        h0.astype(cd),
+        wr.astype(cd),
+        brec.reshape(1, u3).astype(jnp.float32),
+    )
+    return ys, (mxs, ys, h0, wr, brec)
+
+
+def _bwd(compute_dtype, interpret, res, dys):
+    mxs, ys, h0, wr, brec = res
+    t, b, u3 = mxs.shape
+    u = u3 // 3
+    cd = compute_dtype
+    bt = _pick_batch_tile(b, u, backward=True)
+    grid = (b // bt, t)
+    dmxs, dwr, dbrec, dh0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, compute_dtype=cd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bt, u3), lambda i, s: (grid[1] - 1 - s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, u), lambda i, s: (grid[1] - 1 - s, i, 0),
+                         memory_space=pltpu.VMEM),
+            # h_{t-1}: block t-1, clamped at t=0 (the kernel masks it with h0)
+            pl.BlockSpec((1, bt, u),
+                         lambda i, s: (jnp.maximum(grid[1] - 2 - s, 0), i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, u), lambda i, s: (grid[1] - 1 - s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, u), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, u3), lambda i, s: (grid[1] - 1 - s, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, u), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, u3), cd),
+            jax.ShapeDtypeStruct((u, u3), jnp.float32),
+            jax.ShapeDtypeStruct((1, u3), jnp.float32),
+            jax.ShapeDtypeStruct((b, u), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, u), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * t * b * u * u3,
+            bytes_accessed=mxs.size * 4 + 3 * t * b * u * 2,
+            transcendentals=3 * t * b * u,
+        ),
+        interpret=_default_interpret() if interpret is None else interpret,
+    )(
+        mxs.astype(cd),
+        ys,
+        ys,
+        dys.astype(cd),
+        h0.astype(cd),
+        wr.astype(cd),
+        brec.reshape(1, u3).astype(jnp.float32),
+    )
+    return (
+        dmxs.astype(mxs.dtype),
+        dh0.astype(h0.dtype),
+        dwr.astype(wr.dtype),
+        dbrec.reshape(brec.shape).astype(brec.dtype),
+    )
+
+
+def _fwd_rule(mxs, h0, wr, brec, compute_dtype, interpret):
+    ys, res = _fwd(mxs, h0, wr, brec, compute_dtype, interpret)
+    return ys, res
+
+
+fused_gru_scan.defvjp(_fwd_rule, _bwd)

@@ -86,25 +86,53 @@ def gru_cell(
     return gru_combine(mx, mh, h)
 
 
-def gru_sequence(
+def _use_fused_train(p: GRUCellParams, fused) -> bool:
+    """Fused training kernel dispatch: explicit override, else auto on TPU
+    for float (non-QTensor) weights whose gate splits are lane-aligned."""
+    if fused is not None:
+        return fused
+    if not isinstance(p.recurrent_kernel, jax.Array):
+        return False
+    u = p.units
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    return on_tpu and u % 128 == 0 and p.bias is not None
+
+
+def gru_sequence_time_major(
     p: GRUCellParams,
-    xs: jax.Array,
+    xs_tm: jax.Array,
     h0: jax.Array,
     *,
     compute_dtype=jnp.float32,
     remat: bool = False,
+    fused: Optional[bool] = None,
 ):
-    """Run over a full sequence with ``lax.scan``.
+    """Time-major training forward: xs_tm (T, B, E) -> (ys (T, B, U), h_last).
 
-    xs: (B, T, E), h0: (B, U) -> (outputs (B, T, U), final state (B, U)).
+    Time-major is the layout the sequential loop wants (a (B, T, ...) scan
+    transposes the full (B, T, 3U) projection — ~630 MB at the training
+    config); callers keep (T, B) end to end and transpose only the int32
+    token/target ids.
 
-    The input projection for the whole sequence is one big (B*T, E)·(E, 3U)
-    matmul *outside* the scan (the cuDNN-style RNN optimization); only the
-    recurrent matmul stays sequential. ``remat=True`` rematerializes the cell
-    in the backward pass (jax.checkpoint), trading recompute FLOPs for HBM —
-    for long-sequence training where per-step activations don't fit.
+    ``fused=None`` auto-routes bfloat16 float-weight models on TPU through
+    the persistent Pallas kernel pair (ops/fused_gru_train.py: whole time
+    loop on-core, backward rematerializes gates); otherwise ``lax.scan``
+    with the whole-sequence input projection hoisted (the cuDNN-style RNN
+    optimization). ``remat=True`` checkpoints the scan cell (the fused
+    backward already rematerializes).
     """
-    mxs = input_projection(p, xs, compute_dtype=compute_dtype)     # (B, T, 3U)
+    mxs = input_projection(p, xs_tm, compute_dtype=compute_dtype)  # (T, B, 3U)
+
+    if compute_dtype == jnp.bfloat16 and _use_fused_train(p, fused):
+        from ggml_experiments_tpu.ops.fused_gru_train import fused_gru_scan
+
+        ys = fused_gru_scan(
+            mxs, h0.astype(compute_dtype), p.recurrent_kernel, p.bias[1]
+        )
+        return ys, ys[-1]
 
     def step(h, mx_t):
         h = gru_combine(mx_t, recurrent_projection(p, h, compute_dtype=compute_dtype), h)
@@ -112,5 +140,27 @@ def gru_sequence(
 
     if remat:
         step = jax.checkpoint(step)
-    h_last, ys = jax.lax.scan(step, h0, mxs.swapaxes(0, 1))
+    h_last, ys = jax.lax.scan(step, h0, mxs)
+    return ys, h_last
+
+
+def gru_sequence(
+    p: GRUCellParams,
+    xs: jax.Array,
+    h0: jax.Array,
+    *,
+    compute_dtype=jnp.float32,
+    remat: bool = False,
+    fused: Optional[bool] = None,
+):
+    """Run over a full sequence. xs: (B, T, E) -> ((B, T, U), final (B, U)).
+
+    Batch-major convenience wrapper over :func:`gru_sequence_time_major`
+    (which see for the fused-kernel dispatch); the input transpose happens
+    on the small (B, T, E) embeddings, before the 3U-wide projection.
+    """
+    ys, h_last = gru_sequence_time_major(
+        p, xs.swapaxes(0, 1), h0,
+        compute_dtype=compute_dtype, remat=remat, fused=fused,
+    )
     return ys.swapaxes(0, 1), h_last

@@ -54,10 +54,15 @@ def loss_fn(
     params: GRUTextGenParams, inputs: jax.Array, targets: jax.Array, *,
     remat: bool = False, compute_dtype=jnp.float32,
 ) -> jax.Array:
-    logits, _ = gru_textgen.forward_sequence(
-        params, inputs, remat=remat, compute_dtype=compute_dtype
+    # Run the forward time-major: only the tiny (B, T) int32 ids get
+    # transposed, never the (T, B, 3U) projection / (T, B, U) states the
+    # batch-major layout would shuffle (~840 MB/step at B=1024, T=100).
+    # The mean CE is layout-invariant, so targets just transpose to match.
+    logits_tm, _ = gru_textgen.forward_sequence(
+        params, inputs.swapaxes(0, 1), remat=remat, compute_dtype=compute_dtype,
+        time_major=True,
     )
-    return sparse_softmax_cross_entropy(logits, targets)
+    return sparse_softmax_cross_entropy(logits_tm, targets.swapaxes(0, 1))
 
 
 def make_train_step(
