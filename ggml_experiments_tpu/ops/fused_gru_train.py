@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 
@@ -168,12 +170,14 @@ def fused_gru_scan(mxs, h0, wr, brec, compute_dtype=jnp.bfloat16, interpret=None
     return ys
 
 
-def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
+def _fwd_core_call(mxs, h0, wr, brec2, *, compute_dtype, interpret):
+    """The forward pallas_call on already-cast operands (runs on whatever
+    possibly-per-shard batch it is given)."""
     t, b, u3 = mxs.shape
     u = u3 // 3
     cd = compute_dtype
     bt = _pick_batch_tile(b, u, backward=False)
-    ys = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, compute_dtype=cd),
         grid=(b // bt, t),
         in_specs=[
@@ -195,7 +199,59 @@ def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
             transcendentals=3 * t * b * u,
         ),
         interpret=_default_interpret() if interpret is None else interpret,
-    )(
+    )(mxs, h0, wr, brec2)
+
+
+def _batch_axis(arg_shapes):
+    """The mesh axis the batch dim is sharded over (mxs dim 1 / h0 dim 0)."""
+    for idx, dim in ((0, 1), (1, 0)):
+        s = arg_shapes[idx].sharding
+        if isinstance(s, NamedSharding) and len(s.spec) > dim and s.spec[dim] is not None:
+            return s.spec[dim]
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(compute_dtype, interpret):
+    """DP rule: under a sharded jit the batch dim stays local per device
+    (each batch row's recurrence is independent); T/U and the weights must
+    be whole per device — without this rule XLA gathers every operand and
+    runs the kernel replicated, silently defeating data parallelism (same
+    failure mode as flash_attention/qmatmul, which see)."""
+
+    def core(mxs, h0, wr, brec2):
+        return _fwd_core_call(
+            mxs, h0, wr, brec2, compute_dtype=compute_dtype, interpret=interpret
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax = _batch_axis(arg_shapes)
+        rep2 = NamedSharding(mesh, P(None, None))
+        return (
+            mesh,
+            core,
+            NamedSharding(mesh, P(None, b_ax, None)),
+            (NamedSharding(mesh, P(None, b_ax, None)),
+             NamedSharding(mesh, P(b_ax, None)), rep2, rep2),
+        )
+
+    fn = custom_partitioning(core)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="t b k, b u, u k, s k -> t b u",
+        need_replication_factors=("t", "k", "u", "s"),
+    )
+    return fn
+
+
+def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
+    t, b, u3 = mxs.shape
+    cd = compute_dtype
+    ys = _fwd_partitioned(cd, interpret)(
         mxs.astype(cd),
         h0.astype(cd),
         wr.astype(cd),
@@ -204,14 +260,15 @@ def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
     return ys, (mxs, ys, h0, wr, brec)
 
 
-def _bwd(compute_dtype, interpret, res, dys):
-    mxs, ys, h0, wr, brec = res
+def _bwd_core_call(mxs, ys, ysp, dys, h0, wr, brec2, *, compute_dtype, interpret):
+    """The backward pallas_call on already-cast operands. Returns per-shard
+    (dmxs, dwr, dbrec, dh0) — weight/bias grads are LOCAL partial sums."""
     t, b, u3 = mxs.shape
     u = u3 // 3
     cd = compute_dtype
     bt = _pick_batch_tile(b, u, backward=True)
     grid = (b // bt, t)
-    dmxs, dwr, dbrec, dh0 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, compute_dtype=cd),
         grid=grid,
         in_specs=[
@@ -253,7 +310,67 @@ def _bwd(compute_dtype, interpret, res, dys):
             transcendentals=3 * t * b * u,
         ),
         interpret=_default_interpret() if interpret is None else interpret,
-    )(
+    )(mxs, ys, ysp, dys, h0, wr, brec2)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(compute_dtype, interpret):
+    """Backward DP rule: batch stays local; dmxs/dh0 come back batch-sharded,
+    while the weight/bias grads are batch reductions, so the per-shard
+    partials are psum'd over the batch mesh axis inside the partition body
+    (the same collective XLA would emit for the scan path's weight grads)."""
+
+    def core(mxs, ys, ysp, dys, h0, wr, brec2):
+        return _bwd_core_call(
+            mxs, ys, ysp, dys, h0, wr, brec2,
+            compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax = _batch_axis(arg_shapes)
+        return (
+            NamedSharding(mesh, P(None, b_ax, None)),
+            NamedSharding(mesh, P(None, None)),
+            NamedSharding(mesh, P(None, None)),
+            NamedSharding(mesh, P(b_ax, None)),
+        )
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax = _batch_axis(arg_shapes)
+
+        def local(mxs, ys, ysp, dys, h0, wr, brec2):
+            dmxs, dwr, dbrec, dh0 = core(mxs, ys, ysp, dys, h0, wr, brec2)
+            if b_ax is not None:
+                dwr = jax.lax.psum(dwr, b_ax)
+                dbrec = jax.lax.psum(dbrec, b_ax)
+            return dmxs, dwr, dbrec, dh0
+
+        tb = NamedSharding(mesh, P(None, b_ax, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        bu = NamedSharding(mesh, P(b_ax, None))
+        return (
+            mesh,
+            local,
+            (tb, rep2, rep2, bu),
+            (tb, tb, tb, tb, bu, rep2, rep2),
+        )
+
+    fn = custom_partitioning(core)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="t b k, t b u, t b u, t b u, b u, u k, s k "
+                      "-> t b k, u k, s k, b u",
+        need_replication_factors=("t", "k", "u", "s"),
+    )
+    return fn
+
+
+def _bwd(compute_dtype, interpret, res, dys):
+    mxs, ys, h0, wr, brec = res
+    t, b, u3 = mxs.shape
+    cd = compute_dtype
+    dmxs, dwr, dbrec, dh0 = _bwd_partitioned(cd, interpret)(
         mxs.astype(cd),
         ys,
         ys,

@@ -255,3 +255,52 @@ def test_qmatmul_column_parallel_stays_local(mesh):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(quant.qmatmul(x, qt)), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_gru_train_batch_sharded(mesh):
+    """The fused training kernels' DP rule: batch-sharded mxs/h0 run the
+    kernels per shard (states come back batch-sharded) and the custom-VJP
+    weight grads psum over the data axis — numerics match the unsharded
+    call, and the forward output must actually BE sharded (no silent
+    all-gather + replicated kernel)."""
+    from ggml_experiments_tpu.ops.fused_gru_train import fused_gru_scan
+    from ggml_experiments_tpu.ops.gru import input_projection
+
+    rng = np.random.default_rng(9)
+    t, b, e, u = 5, 16, 8, 16
+    cell = gru_textgen.init_params(
+        GRUConfig(vocab_size=66, embed_dim=e, units=u), jax.random.PRNGKey(1)
+    ).cell
+    xs = jnp.asarray(rng.standard_normal((t, b, e)), jnp.float32)
+    h0 = jnp.zeros((b, u), jnp.bfloat16)
+    mxs = input_projection(cell, xs, compute_dtype=jnp.bfloat16)
+
+    def loss(mxs, h0, wr, brec):
+        ys = fused_gru_scan(mxs, h0, wr, brec)
+        return jnp.sum(ys.astype(jnp.float32) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 2, 3)))
+    ref_loss, ref_grads = grad_fn(mxs, h0, cell.recurrent_kernel, cell.bias[1])
+
+    bsh = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    fwd = jax.jit(lambda m, h, w, br: fused_gru_scan(m, h, w, br))
+    ys_sh = fwd(
+        jax.device_put(mxs, bsh),
+        jax.device_put(h0, NamedSharding(mesh, P(DATA_AXIS, None))),
+        cell.recurrent_kernel,
+        cell.bias[1],
+    )
+    assert ys_sh.sharding.spec[1] == DATA_AXIS, ys_sh.sharding
+    sh_loss, sh_grads = grad_fn(
+        jax.device_put(mxs, bsh),
+        jax.device_put(h0, NamedSharding(mesh, P(DATA_AXIS, None))),
+        cell.recurrent_kernel,
+        cell.bias[1],
+    )
+    np.testing.assert_allclose(float(ref_loss), float(sh_loss), rtol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(ref_grads),
+                    jax.tree_util.tree_leaves(sh_grads)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32),
+            rtol=1e-4, atol=1e-4,
+        )
