@@ -51,7 +51,8 @@ def _gates(mx, mh, u):
     return z, r, g, mh_h
 
 
-def _fwd_kernel(mx_ref, h0_ref, wr_ref, brec_ref, ys_ref, h_scr, *, compute_dtype):
+def _fwd_kernel(mx_ref, h0_ref, wr_ref, brec_ref, ys_ref, mh_ref, h_scr, *,
+                compute_dtype):
     t = pl.program_id(1)
     u = h0_ref.shape[-1]
     cd = compute_dtype
@@ -64,7 +65,14 @@ def _fwd_kernel(mx_ref, h0_ref, wr_ref, brec_ref, ys_ref, h_scr, *, compute_dtyp
     mh = jax.lax.dot_general(
         h, wr_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ) + brec_ref[0]
-    z, _, g, _ = _gates(mx_ref[0].astype(jnp.float32), mh, u)
+    # the recurrent projection is stored (bf16) for the backward pass —
+    # streaming (Bt, 3U) through HBM costs less than recomputing the matmul
+    # (measured: ~0.8 ms/dir vs 3.3 ms at B=1024/T=100/U=1024). Gate math
+    # uses the SAME rounded values so forward and backward see identical
+    # gates.
+    mh_c = mh.astype(cd)
+    mh_ref[0] = mh_c
+    z, _, g, _ = _gates(mx_ref[0].astype(jnp.float32), mh_c.astype(jnp.float32), u)
     h_new = (z * h.astype(jnp.float32) + (1.0 - z) * g).astype(cd)
     h_scr[:] = h_new
     ys_ref[0] = h_new
@@ -72,12 +80,11 @@ def _fwd_kernel(mx_ref, h0_ref, wr_ref, brec_ref, ys_ref, h_scr, *, compute_dtyp
 
 def _bwd_kernel(
     mx_ref,      # (1, Bt, 3U) at time t
-    ys_ref,      # (1, Bt, U)  h_t
+    mh_ref,      # (1, Bt, 3U) stored forward recurrent projection at t
     ysp_ref,     # (1, Bt, U)  h_{t-1} (block t-1; garbage at t=0, masked)
     dys_ref,     # (1, Bt, U)  dL/dh_t (direct, from the stacked outputs)
     h0_ref,      # (Bt, U)
     wr_ref,      # (U, 3U) compute dtype
-    brec_ref,    # (1, 3U) f32
     dmx_ref,     # out (1, Bt, 3U) compute dtype
     dwr_ref,     # out (U, 3U) f32 — VMEM accumulator, constant index map
     dbrec_ref,   # out (1, 3U) f32 — accumulator
@@ -104,12 +111,11 @@ def _bwd_kernel(
     is_first = (t == 0)
     h_prev = jnp.where(is_first, h0_ref[:], ysp_ref[0]).astype(cd)
 
-    # rematerialize the forward gates (checkpoint policy, in-kernel)
-    mh = jax.lax.dot_general(
-        h_prev, wr_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + brec_ref[0]
-    z, r, g, mh_h = _gates(mx_ref[0].astype(jnp.float32), mh, u)
+    # gates rebuilt (VPU only) from the STORED forward projection — the
+    # stream costs less HBM time than the recompute matmul costs MXU time
+    z, r, g, mh_h = _gates(
+        mx_ref[0].astype(jnp.float32), mh_ref[0].astype(jnp.float32), u
+    )
 
     dh_total = dys_ref[0].astype(jnp.float32) + dh_scr[:]
     hp32 = h_prev.astype(jnp.float32)
@@ -186,8 +192,14 @@ def _fwd_core_call(mxs, h0, wr, brec2, *, compute_dtype, interpret):
             pl.BlockSpec((u, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bt, u), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t, b, u), cd),
+        out_specs=[
+            pl.BlockSpec((1, bt, u), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, u3), lambda i, s: (s, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, u), cd),
+            jax.ShapeDtypeStruct((t, b, u3), cd),
+        ],
         scratch_shapes=[pltpu.VMEM((bt, u), cd)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -195,7 +207,7 @@ def _fwd_core_call(mxs, h0, wr, brec2, *, compute_dtype, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * t * b * u * u3,
-            bytes_accessed=mxs.size * 2 + t * b * u * 2,
+            bytes_accessed=mxs.size * 2 + t * b * (u + u3) * 2,
             transcendentals=3 * t * b * u,
         ),
         interpret=_default_interpret() if interpret is None else interpret,
@@ -225,24 +237,26 @@ def _fwd_partitioned(compute_dtype, interpret):
         )
 
     def infer(mesh, arg_shapes, result_shape):
-        return NamedSharding(mesh, P(None, _batch_axis(arg_shapes), None))
+        b_ax = _batch_axis(arg_shapes)
+        tb = NamedSharding(mesh, P(None, b_ax, None))
+        return (tb, tb)
 
     def partition(mesh, arg_shapes, result_shape):
         b_ax = _batch_axis(arg_shapes)
+        tb = NamedSharding(mesh, P(None, b_ax, None))
         rep2 = NamedSharding(mesh, P(None, None))
         return (
             mesh,
             core,
-            NamedSharding(mesh, P(None, b_ax, None)),
-            (NamedSharding(mesh, P(None, b_ax, None)),
-             NamedSharding(mesh, P(b_ax, None)), rep2, rep2),
+            (tb, tb),
+            (tb, NamedSharding(mesh, P(b_ax, None)), rep2, rep2),
         )
 
     fn = custom_partitioning(core)
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="t b k, b u, u k, s k -> t b u",
+        sharding_rule="t b k, b u, u k, s k -> t b u, t b k",
         need_replication_factors=("t", "k", "u", "s"),
     )
     return fn
@@ -251,16 +265,16 @@ def _fwd_partitioned(compute_dtype, interpret):
 def _fwd(mxs, h0, wr, brec, compute_dtype, interpret):
     t, b, u3 = mxs.shape
     cd = compute_dtype
-    ys = _fwd_partitioned(cd, interpret)(
+    ys, mhs = _fwd_partitioned(cd, interpret)(
         mxs.astype(cd),
         h0.astype(cd),
         wr.astype(cd),
         brec.reshape(1, u3).astype(jnp.float32),
     )
-    return ys, (mxs, ys, h0, wr, brec)
+    return ys, (mxs, mhs, ys, h0, wr, brec)
 
 
-def _bwd_core_call(mxs, ys, ysp, dys, h0, wr, brec2, *, compute_dtype, interpret):
+def _bwd_core_call(mxs, mhs, ysp, dys, h0, wr, *, compute_dtype, interpret):
     """The backward pallas_call on already-cast operands. Returns per-shard
     (dmxs, dwr, dbrec, dh0) — weight/bias grads are LOCAL partial sums."""
     t, b, u3 = mxs.shape
@@ -274,7 +288,7 @@ def _bwd_core_call(mxs, ys, ysp, dys, h0, wr, brec2, *, compute_dtype, interpret
         in_specs=[
             pl.BlockSpec((1, bt, u3), lambda i, s: (grid[1] - 1 - s, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, u), lambda i, s: (grid[1] - 1 - s, i, 0),
+            pl.BlockSpec((1, bt, u3), lambda i, s: (grid[1] - 1 - s, i, 0),
                          memory_space=pltpu.VMEM),
             # h_{t-1}: block t-1, clamped at t=0 (the kernel masks it with h0)
             pl.BlockSpec((1, bt, u),
@@ -284,7 +298,6 @@ def _bwd_core_call(mxs, ys, ysp, dys, h0, wr, brec2, *, compute_dtype, interpret
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, u), lambda i, s: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((u, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, u3), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, bt, u3), lambda i, s: (grid[1] - 1 - s, i, 0),
@@ -310,7 +323,7 @@ def _bwd_core_call(mxs, ys, ysp, dys, h0, wr, brec2, *, compute_dtype, interpret
             transcendentals=3 * t * b * u,
         ),
         interpret=_default_interpret() if interpret is None else interpret,
-    )(mxs, ys, ysp, dys, h0, wr, brec2)
+    )(mxs, mhs, ysp, dys, h0, wr)
 
 
 @functools.lru_cache(maxsize=None)
@@ -320,9 +333,9 @@ def _bwd_partitioned(compute_dtype, interpret):
     partials are psum'd over the batch mesh axis inside the partition body
     (the same collective XLA would emit for the scan path's weight grads)."""
 
-    def core(mxs, ys, ysp, dys, h0, wr, brec2):
+    def core(mxs, mhs, ysp, dys, h0, wr):
         return _bwd_core_call(
-            mxs, ys, ysp, dys, h0, wr, brec2,
+            mxs, mhs, ysp, dys, h0, wr,
             compute_dtype=compute_dtype, interpret=interpret,
         )
 
@@ -338,8 +351,8 @@ def _bwd_partitioned(compute_dtype, interpret):
     def partition(mesh, arg_shapes, result_shape):
         b_ax = _batch_axis(arg_shapes)
 
-        def local(mxs, ys, ysp, dys, h0, wr, brec2):
-            dmxs, dwr, dbrec, dh0 = core(mxs, ys, ysp, dys, h0, wr, brec2)
+        def local(mxs, mhs, ysp, dys, h0, wr):
+            dmxs, dwr, dbrec, dh0 = core(mxs, mhs, ysp, dys, h0, wr)
             if b_ax is not None:
                 dwr = jax.lax.psum(dwr, b_ax)
                 dbrec = jax.lax.psum(dbrec, b_ax)
@@ -352,14 +365,14 @@ def _bwd_partitioned(compute_dtype, interpret):
             mesh,
             local,
             (tb, rep2, rep2, bu),
-            (tb, tb, tb, tb, bu, rep2, rep2),
+            (tb, tb, tb, tb, bu, rep2),
         )
 
     fn = custom_partitioning(core)
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="t b k, t b u, t b u, t b u, b u, u k, s k "
+        sharding_rule="t b k, t b k, t b u, t b u, b u, u k "
                       "-> t b k, u k, s k, b u",
         need_replication_factors=("t", "k", "u", "s"),
     )
@@ -367,17 +380,15 @@ def _bwd_partitioned(compute_dtype, interpret):
 
 
 def _bwd(compute_dtype, interpret, res, dys):
-    mxs, ys, h0, wr, brec = res
-    t, b, u3 = mxs.shape
+    mxs, mhs, ys, h0, wr, brec = res
     cd = compute_dtype
     dmxs, dwr, dbrec, dh0 = _bwd_partitioned(cd, interpret)(
         mxs.astype(cd),
-        ys,
+        mhs,
         ys,
         dys.astype(cd),
         h0.astype(cd),
         wr.astype(cd),
-        brec.reshape(1, u3).astype(jnp.float32),
     )
     return (
         dmxs.astype(mxs.dtype),
