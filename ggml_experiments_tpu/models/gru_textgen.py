@@ -121,7 +121,10 @@ def forward_sequence(
     """
     b = token_ids.shape[1] if time_major else token_ids.shape[0]
     h = init_state(params, b) if h0 is None else h0
-    xs = embedding_lookup(params.embeddings, token_ids)        # (..., E)
+    # time-major == the training path: route the embedding gradient through
+    # a one-hot matmul (scatter-add costs ~0.7 ms/step on TPU at B=1024)
+    xs = embedding_lookup(params.embeddings, token_ids,
+                          one_hot_grad=time_major)             # (..., E)
     if time_major:
         ys, h_last = gru_sequence_time_major(
             params.cell, xs, h, compute_dtype=compute_dtype, remat=remat

@@ -55,7 +55,19 @@ def linear(
     return y
 
 
-def embedding_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+def embedding_lookup(table: jax.Array, ids: jax.Array, *,
+                     one_hot_grad: bool = False) -> jax.Array:
     """Row gather — ggml's ``ggml_get_rows`` embedding path
-    (/root/reference/rnn_text_gen/rnn_text_generation.cpp:200)."""
+    (/root/reference/rnn_text_gen/rnn_text_generation.cpp:200).
+
+    ``one_hot_grad=True`` computes the lookup as a one-hot matmul instead:
+    numerically identical, but its transpose (the table gradient) is a
+    matmul rather than a scatter-add — on TPU the scatter serializes per
+    duplicate key and costs ~0.7 ms/step at the training config, while the
+    (V, rows) x (rows, E) contraction is trivial for small vocabularies.
+    Use under ``jax.grad`` when V is small; plain gather is faster forward.
+    """
+    if one_hot_grad:
+        onehot = jax.nn.one_hot(ids, table.shape[0], dtype=table.dtype)
+        return jnp.einsum("...v,ve->...e", onehot, table)
     return jnp.take(table, ids, axis=0)
