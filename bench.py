@@ -248,6 +248,37 @@ def main():
     except Exception as ex:
         log(f"serving bench skipped: {type(ex).__name__}: {ex}")
 
+    # secondary: mixed-precision training step (fused Pallas fwd+bwd kernels,
+    # ops/fused_gru_train.py — time loop on-core, custom VJP)
+    try:
+        if on_tpu:
+            import optax
+
+            from ggml_experiments_tpu.training.gru_trainer import loss_fn
+
+            fparams = gru_textgen.init_params(cfg, jax.random.PRNGKey(0))
+            opt = optax.adam(1e-3)
+            opt_state = opt.init(fparams)
+
+            @jax.jit
+            def train_step(p, o, i, t):
+                loss, grads = jax.value_and_grad(
+                    lambda p_, i_, t_: loss_fn(p_, i_, t_, compute_dtype=jnp.bfloat16)
+                )(p, i, t)
+                upd, o = opt.update(grads, o, p)
+                return optax.apply_updates(p, upd), o, loss
+
+            tb, tt = 1024, 100
+            ti = jnp.asarray(rng.integers(0, v, (tb, tt)), jnp.int32)
+            tg = jnp.asarray(rng.integers(0, v, (tb, tt)), jnp.int32)
+            train_step(fparams, opt_state, ti, tg)[2].block_until_ready()
+            best = timeit_pipelined(lambda: train_step(fparams, opt_state, ti, tg)[2])
+            log(f"TPU bf16 mixed-precision training (fused kernels): "
+                f"batch={tb} seq={tt} {best*1e3:.1f}ms/step -> "
+                f"{tb*tt/best/1e6:.2f} M tokens/s/chip")
+    except Exception as ex:
+        log(f"training bench skipped: {type(ex).__name__}: {ex}")
+
     print(json.dumps({
         "metric": "gru_q8_0_decode_throughput",
         "value": round(tokens_per_s, 1),
