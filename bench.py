@@ -61,8 +61,38 @@ def cpu_baseline_tokens_per_s(weights, steps=200, batch=1):
     return batch * steps / dt
 
 
+def _tpu_backend_reachable(timeout_s: float = 240.0) -> bool:
+    """Probe the (tunneled) TPU backend in a SUBPROCESS with a timeout.
+
+    jax.devices() blocks forever inside the axon PJRT claim loop when the
+    remote terminal is wedged (e.g. a prior client killed mid-remote-compile
+    — observed 2026-08-18: hours-long outage). Probing in-process would hang
+    this benchmark with it, so a throwaway subprocess takes the risk and the
+    parent falls back to the CPU smoke configs, keeping the one-line JSON
+    contract intact."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return out.returncode == 0 and out.stdout.strip() == "tpu"
+    except subprocess.TimeoutExpired:
+        log(f"TPU backend probe hung >{timeout_s:.0f}s (axon claim wedged?) "
+            "— falling back to CPU smoke mode")
+        return False
+    except Exception as ex:  # pragma: no cover
+        log(f"TPU backend probe failed: {type(ex).__name__}: {ex}")
+        return False
+
+
 def main():
     import jax
+
+    if not _tpu_backend_reachable():
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # persistent compile cache: the axon remote-compile hop is expensive
