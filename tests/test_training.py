@@ -150,3 +150,23 @@ def test_validation_ppl_during_training():
     assert len(val) >= 2
     assert all(np.isfinite(v) and v > 1.0 for v in val)
     assert val[-1] < val[0], val
+
+
+def test_onehot_ce_matches_optax_oracle():
+    """The one-hot CE rewrite (TPU gather avoidance) must be numerically
+    identical to optax's take_along_axis form."""
+    import optax
+
+    from ggml_experiments_tpu.training.gru_trainer import (
+        sparse_softmax_cross_entropy,
+    )
+
+    rng = np.random.default_rng(0)
+    import jax.numpy as jnp
+
+    logits = jnp.asarray(rng.standard_normal((7, 11, 66)) * 3, jnp.float32)
+    targets = jnp.asarray(rng.integers(0, 66, (7, 11)), jnp.int32)
+    ours = float(sparse_softmax_cross_entropy(logits, targets))
+    oracle = float(optax.softmax_cross_entropy_with_integer_labels(
+        logits, targets).mean())
+    np.testing.assert_allclose(ours, oracle, rtol=1e-6)
