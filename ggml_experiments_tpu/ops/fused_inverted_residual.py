@@ -108,6 +108,7 @@ def _pick_batch_tile(b: int, h: int, w: int, c: int, e: int, cout: int,
         (h + 2) * (w + 2) * e * 2      # expanded scratch (bf16)
         + h * w * c * 2                # input tile
         + h * w * e * 4                # f32 dw accumulator
+        + h * (w + 2) * e * 4          # di-first per-dj f32 temporary
         + h * w * cout * 4             # output + matmul temp
     )
     g = max(1, budget_bytes // max(per_g, 1))
