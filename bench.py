@@ -309,7 +309,7 @@ def main():
     except Exception as ex:
         log(f"training bench skipped: {type(ex).__name__}: {ex}")
 
-    print(json.dumps({
+    record = {
         "metric": "gru_q8_0_decode_throughput",
         "value": round(tokens_per_s, 1),
         "unit": "tokens/s/chip",
@@ -318,7 +318,36 @@ def main():
         "headline_config": headline_config,
         "configs": {k: round(v, 1) for k, v in results.items()},
         "protocol": PROTOCOL,
-    }))
+        "backend": "tpu" if on_tpu else "cpu-smoke",
+    }
+    if not on_tpu:
+        # degraded run (no reachable TPU): say so, and point at the most
+        # recent REAL chip measurement so the smoke number can't be read
+        # as a regression
+        record["degraded"] = ("TPU backend unreachable - reduced CPU smoke "
+                              "configs; see last_tpu_measurement")
+        import glob as _glob
+        prior = sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        if prior:
+            try:
+                with open(prior[-1]) as f:
+                    last = json.load(f)
+                if "value" not in last:  # driver wrapper: metric JSON is the
+                    for line in reversed(  # last JSON line of the "tail" log
+                            str(last.get("tail", "")).splitlines()):
+                        if line.startswith("{"):
+                            last = json.loads(line)
+                            break
+                if last.get("value") is not None:
+                    record["last_tpu_measurement"] = {
+                        "from": os.path.basename(prior[-1]),
+                        "value": last.get("value"),
+                        "unit": last.get("unit"),
+                    }
+            except Exception:
+                pass
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
