@@ -104,6 +104,7 @@ def cmd_features(args) -> int:
         args.weights, config=config, qtype=args.qtype,
         conv_dtype="float16" if args.f16_convs else None,
         flash_attn=args.flash_attn,
+        fused_layer=getattr(args, "fused_layer", None),
     )
     img = _load_image(args, config.image_size)
     t0 = time.time()
@@ -138,6 +139,7 @@ def cmd_classify(args) -> int:
     params = load_mobilevit(
         args.weights, config=config, qtype=args.qtype,
         flash_attn=getattr(args, "flash_attn", None),
+        fused_layer=getattr(args, "fused_layer", None),
     )
     img = _load_image(args, config.image_size)
     cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
@@ -410,6 +412,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
                    help="fused Pallas attention (scores stay in VMEM; default: "
                         "auto — on for TPU backends, off on CPU)")
+    f.add_argument("--fused-layer", action=argparse.BooleanOptionalAction, default=None,
+                   help="whole-transformer-layer fused Pallas kernel (one HBM "
+                        "round trip per layer; default: auto — on for TPU)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     _add_common(f)
@@ -421,6 +426,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--top-k", type=int, default=5)
     c.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
                    help="fused Pallas attention (see `features --flash-attn`)")
+    c.add_argument("--fused-layer", action=argparse.BooleanOptionalAction, default=None,
+                   help="whole-layer fused kernel (see `features --fused-layer`)")
     _add_common(c)
     c.set_defaults(fn=cmd_classify)
 

@@ -1,0 +1,275 @@
+"""Whole-transformer-layer fused Pallas kernel (one HBM round trip per layer).
+
+Why: with flash attention in place the MobileViT transformer stages still pay
+several full activation round trips per layer — LN statistics (convert+reduce
+fusions), the q/k/v/ctx tensors written by the projections and re-read by the
+attention kernel (plus the layout copies XLA inserts at every Mosaic custom-
+call boundary: ~1.4 ms/call of pure relayout at B=128), and the 2x-wide FFN
+intermediate. Every one of those tensors is (L <= 256, C <= 240) per sequence
+— the whole per-sequence layer state fits comfortably in VMEM — so this
+kernel runs the ENTIRE pre-LN ViT layer there:
+
+    LN -> q/k/v proj -> masked-head attention -> out proj (+residual)
+       -> LN -> FFN silu -> FFN out (+residual)
+
+reading x once and writing the layer output once. It subsumes
+ops/flash_attention.py (same channel-masked head separation, same softmax
+policy) and replaces the reference's per-op ggml node chain for a layer
+(/root/reference/mobilevit/main.cpp:988-1172) with a single fused region.
+
+Design notes (same rules flash_attention.py earned by measurement):
+* Everything stays at logical shapes — no lane padding is materialized; the
+  MXU pads K/N internally exactly as XLA's own projection convs do, so the
+  padded-FLOP cost is unchanged and only the HBM traffic goes away.
+* Heads separated by channel masking (head_dim 36/48/60 is not lane-aligned).
+* Grid over G-sequence row blocks; G unrolled in Python.
+* LN statistics and all matmul accumulations in f32; activations cross
+  between ops in the compute dtype (bf16), matching the unfused path's
+  storage policy. Residual sums ride in f32 inside the kernel (a hair more
+  accurate than the unfused bf16-storage adds, within bf16 noise).
+* Quantized (QTensor) weights are dequantized OUTSIDE the kernel in-graph —
+  identical numerics to the unfused XLA-fallback path for these small
+  weights (quant/pallas_kernels.XLA_FALLBACK_MAX_ELEMS); their HBM traffic
+  is trivial and the blocks stay resident across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
+from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
+
+# vecs_ref row layout (all f32, width C):
+_LN1_G, _LN1_B, _BQ, _BK, _BV, _BO, _LN2_G, _LN2_B, _BO2, _MASK0 = range(10)
+
+
+def _ln(xf, gamma, beta, eps):
+    """f32 layernorm over the last axis — mirrors ops/norm.layer_norm."""
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+    return (xf - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def _layer_kernel(
+    x_ref, wq_ref, wk_ref, wv_ref, wo_ref, wi_ref, wo2_ref, vecs_ref, bi_ref,
+    o_ref, *, num_heads: int, scale: float, eps: float, compute_dtype,
+):
+    """Row-wise ops (LN, projections, FFN) run once on the FLATTENED
+    (G*L, C) block — at the short-sequence stages (L=16/64) per-sequence
+    dots leave the 128-row MXU almost empty, and flattening G sequences
+    into the M dimension is free (leading-dim collapse, no relayout).
+    Only the score/context dots, which couple rows within one sequence,
+    iterate per sequence."""
+    g, l, c = x_ref.shape
+    cd = compute_dtype
+
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    xf = x_ref[...].reshape(g * l, c).astype(jnp.float32)       # (G*L, C)
+    a = _ln(xf, vecs_ref[_LN1_G], vecs_ref[_LN1_B], eps).astype(cd)
+    q = ((dot(a, wq_ref[:]) + vecs_ref[_BQ]) * scale).astype(cd)
+    k = (dot(a, wk_ref[:]) + vecs_ref[_BK]).astype(cd)
+    v = (dot(a, wv_ref[:]) + vecs_ref[_BV]).astype(cd)
+    masks = [vecs_ref[_MASK0 + h] for h in range(num_heads)]    # (C,) 0/1 f32
+    rows = []
+    for i in range(g):
+        qs, ks, vs = (t[i * l:(i + 1) * l] for t in (q, k, v))
+        # Per-head masked dots, exactly flash_attention's recipe. A head-
+        # packed variant (all heads' masked k/v stacked on the key axis so
+        # scores+context are one (L, H*L) dot pair) was measured 0.62x at
+        # the L=256 stage: the (L, H*L) -> (L, H, L) segmented-softmax
+        # reshape splits the lane dim, a full vector relayout in Mosaic,
+        # and the kp/vp concats materialize 2*H extra (L, C) blocks.
+        acc = jnp.zeros((l, c), jnp.float32)
+        for mh in masks:
+            s = jax.lax.dot_general(
+                qs, ks * mh.astype(cd), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(cd)                                        # (L, L)
+            p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+            ctx = dot(p.astype(cd), vs)                         # f32 (L, C)
+            acc += ctx * mh * (1.0 / denom)
+        rows.append(acc.astype(cd))
+    ctx_all = rows[0] if g == 1 else jnp.concatenate(rows, axis=0)
+    x1 = xf + dot(ctx_all, wo_ref[:]) + vecs_ref[_BO]
+    y = _ln(x1, vecs_ref[_LN2_G], vecs_ref[_LN2_B], eps).astype(cd)
+    h1 = dot(y, wi_ref[:]) + bi_ref[0]                          # (G*L, F)
+    h1 = (h1 * jax.nn.sigmoid(h1)).astype(cd)                   # SiLU (:1148)
+    o = x1 + dot(h1, wo2_ref[:]) + vecs_ref[_BO2]
+    o_ref[...] = o.astype(o_ref.dtype).reshape(g, l, c)
+
+
+def _pick_rows_per_step(bp: int, l: int, c: int, f: int, num_heads: int,
+                        budget_bytes: int = 8 << 20) -> int:
+    cpad = -(-c // 128) * 128
+    fpad = -(-f // 128) * 128
+    # x/a/q/k/v/o bf16 blocks + f32 scores + f32 x1/acc + f32 FFN intermediate
+    del num_heads  # per-head loop reuses one (L, L) score block
+    per_row = 6 * l * cpad * 2 + l * l * 4 + 2 * l * cpad * 4 + l * fpad * 4
+    # target at least ~512 flattened rows per step so the row-wise dots fill
+    # the MXU at short sequence lengths; VMEM budget is the hard cap
+    g_cap = max(8, -(-512 // l))
+    g = max(1, min(g_cap, budget_bytes // max(per_row, 1), bp))
+    while bp % g:
+        g -= 1
+    return g
+
+
+def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *,
+                      num_heads, eps, compute_dtype, interpret):
+    bp, l, c = x3.shape
+    f = wi.shape[-1]
+    dh = c // num_heads
+    g = _pick_rows_per_step(bp, l, c, f, num_heads)
+    spec = pl.BlockSpec((g, l, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(
+            _layer_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
+            eps=eps, compute_dtype=compute_dtype,
+        ),
+        grid=(bp // g,),
+        in_specs=[
+            spec,
+            wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
+            wspec((c, f)), wspec((f, c)),
+            wspec(vecs.shape), wspec((1, f)),
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bp, l, c), compute_dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            # attention dots + projections + FFN (logical flops; MXU padding
+            # is the scheduler's problem, as everywhere else)
+            flops=bp * (4 * num_heads * l * l * c + 8 * l * c * c + 4 * l * c * f),
+            bytes_accessed=2 * bp * l * c * jnp.dtype(compute_dtype).itemsize,
+            transcendentals=bp * (num_heads * l * l + l * f),
+        ),
+        interpret=_default_interpret() if interpret is None else interpret,
+    )(x3, wq, wk, wv, wo, wi, wo2, vecs, bi)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret):
+    """Batch-partitionable wrapper: per-sequence problems are independent, so
+    under a sharded jit the kernel must run per-shard on local batch rows
+    (XLA's default would all-gather + replicate the pallas_call — the same
+    trap flash_attention/qmatmul document). Weights/vecs replicate; l/c stay
+    whole per device."""
+
+    def core(x3, wq, wk, wv, wo, wi, wo2, vecs, bi):
+        return _fused_layer_call(
+            x3, wq, wk, wv, wo, wi, wo2, vecs, bi, num_heads=num_heads,
+            eps=eps, compute_dtype=compute_dtype, interpret=interpret,
+        )
+
+    def _batch_spec(arg_shapes):
+        s = arg_shapes[0].sharding
+        if isinstance(s, NamedSharding) and s.spec and s.spec[0] is not None:
+            return s.spec[0]
+        return None
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_spec(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_spec(arg_shapes)
+        xs = NamedSharding(mesh, P(b, None, None))
+        rep2 = NamedSharding(mesh, P(None, None))
+        return mesh, core, xs, (xs,) + (rep2,) * 8
+
+    fn = custom_partitioning(core)
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b l c, c0 c1, c2 c3, c4 c5, c6 c7, c8 f0, f1 c9, r c10, u f2 "
+            "-> b l c"
+        ),
+        # factors listed in order of first appearance in the rule string
+        # (Shardy rejects unsorted special-factor indices)
+        need_replication_factors=(
+            "l", "c", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8",
+            "f0", "f1", "c9", "r", "c10", "u", "f2",
+        ),
+    )
+    return fn
+
+
+def _as_float(w, dtype):
+    """Traceable dequantize-to-dtype (the _xla_dequant_dot recipe — QTensor
+    .dequantize() is numpy-only and would break under jit)."""
+    if isinstance(w, QTensor):
+        codes = unpack_q4(w.codes) if w.qtype == "q4_0" else w.codes.astype(jnp.float32)
+        kp, np_ = codes.shape
+        deq = (codes.reshape(kp // BLOCK, BLOCK, np_) * w.scales[:, None, :]).reshape(kp, np_)
+        w = deq[: w.k, : w.n]
+    return w.astype(dtype)
+
+
+def fused_transformer_layer(
+    p,                       # TransformerLayerParams (duck-typed)
+    x: jax.Array,            # (..., L, C)
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Run one pre-LN ViT encoder layer as a single fused Pallas kernel.
+
+    Numerically matches ``TransformerLayerParams.__call__`` at the same
+    compute dtype within bf16 noise (residual sums ride in f32 in-kernel).
+    QTensor weights are dequantized in-graph outside the kernel.
+    """
+    *lead, l, c = x.shape
+    att = p.attention
+    num_heads = att.num_heads
+    if c % num_heads:
+        raise ValueError(f"C={c} not divisible by num_heads={num_heads}")
+    cd = compute_dtype
+    bp = 1
+    for d in lead:
+        bp *= d
+
+    wq, wk, wv, wo = (_as_float(w, cd) for w in (att.wq, att.wk, att.wv, att.wo))
+    wi = _as_float(p.intermediate_kernel, cd)
+    wo2 = _as_float(p.output_kernel, cd)
+    f = wi.shape[-1]
+
+    def vec(b, width=c):
+        return jnp.zeros(width, jnp.float32) if b is None else b.astype(jnp.float32)
+
+    head_ids = jnp.arange(c, dtype=jnp.int32) // (c // num_heads)
+    masks = (head_ids[None, :] == jnp.arange(num_heads, dtype=jnp.int32)[:, None])
+    vecs = jnp.concatenate(
+        [
+            jnp.stack([
+                vec(p.ln_before_gamma), vec(p.ln_before_beta),
+                vec(att.bq), vec(att.bk), vec(att.bv), vec(att.bo),
+                vec(p.ln_after_gamma), vec(p.ln_after_beta),
+                vec(p.output_bias),
+            ]),
+            masks.astype(jnp.float32),
+        ]
+    )
+    bi = vec(p.intermediate_bias, f)[None, :]
+
+    fn = _fused_layer_partitioned(num_heads, float(p.eps), cd, interpret)
+    out = fn(x.reshape(bp, l, c).astype(cd), wq, wk, wv, wo, wi, wo2, vecs, bi)
+    return out.reshape(*lead, l, c)
