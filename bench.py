@@ -232,20 +232,23 @@ def main():
         # (the fused-inverted-residual variant is measured slower in-model —
         # 4.9k vs 7.7k img/s at B=128, see docs/STATUS.md — so the product
         # path and this bench stay on the plain XLA convs)
-        # flash attention (ops/flash_attention) wins ~1.1x in-model at batch,
-        # so the headline q8_0 rows run with it; one flash_attn=False row is
-        # kept for the XLA-attention comparison.
-        for qt, flash, batches_ in (
-            (("q8_0", True, (32, 128)), ("q8_0", False, (128,)), ("q4_0", True, (128,)))
-            if on_tpu else (("q8_0", False, (2,)),)
+        # transformer-path ladder: xla-attn < flash attention < whole-layer
+        # fused kernel (ops/fused_transformer_layer, 1.05-1.08x over flash
+        # across batches); the headline q8_0 rows run the fused layer.
+        for qt, attn, batches_ in (
+            (("q8_0", "fused-layer", (32, 128)), ("q8_0", "flash", (128,)),
+             ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer", (128,)))
+            if on_tpu else (("q8_0", "xla-attn", (2,)),)
         ):
-            mv = from_named_tensors(named, mv_cfg, qtype=qt, flash_attn=flash)
+            mv = from_named_tensors(
+                named, mv_cfg, qtype=qt,
+                flash_attn=(attn == "flash"), fused_layer=(attn == "fused-layer"),
+            )
             for mb in batches_:
                 images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
                 best = timeit_pipelined(
                     lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
                 )
-                attn = "flash" if flash else "xla-attn"
                 log(f"TPU {qt} MobileViT bf16 ({attn}): batch={mb} "
                     f"{best*1e3:.1f}ms/call -> {mb/best:,.1f} images/s/chip")
     except Exception as ex:  # secondary metric must not break the headline

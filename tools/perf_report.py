@@ -94,11 +94,16 @@ def main(out_path="PERF.md"):
     # is bandwidth-bound, so SoL is measured against the memory floor. With
     # flash attention (ops/flash_attention) the (L, L) score/prob tensors
     # never touch HBM, removing ~1.3 ms of that floor.
-    for name, flash, floor_s in (
-        ("MobileViT q8 bf16 (B=128)", False, 0.0104),
-        ("MobileViT q8 bf16 + flash attn (B=128)", True, 0.0091),
+    # the fused whole-layer kernel (ops/fused_transformer_layer) further
+    # drops the per-layer LN/projection/FFN round trips: its floor is conv
+    # traffic + one activation round trip per transformer layer (~7.9 ms)
+    for name, flash, fused, floor_s in (
+        ("MobileViT q8 bf16 (B=128)", False, False, 0.0104),
+        ("MobileViT q8 bf16 + flash attn (B=128)", True, False, 0.0091),
+        ("MobileViT q8 bf16 + fused layer (B=128)", False, True, 0.0079),
     ):
-        mv = from_named_tensors(named, mv_cfg, qtype="q8_0", flash_attn=flash)
+        mv = from_named_tensors(named, mv_cfg, qtype="q8_0", flash_attn=flash,
+                                fused_layer=fused)
         best = timeit(lambda: feat(mv, imgs, compute_dtype=jnp.bfloat16))
         lines.append(
             f"| {name} | {best*1e3:.1f} ms | {128/best:,.0f} img/s | "
@@ -141,9 +146,11 @@ def main(out_path="PERF.md"):
     lines.append("")
     lines.append("SoL fraction = achieved / max-achievable given arithmetic intensity "
                  "(utils/observability.py; v5e peaks 197 TF bf16, 819 GB/s HBM). "
-                 "MobileViT's is vs its HBM-traffic floor (device profile puts "
-                 "compute at 14.8 ms/call against that 10.4 ms floor; the "
-                 "remainder of the wall time is tunnel dispatch).")
+                 "MobileViT's is vs its HBM-traffic floor (fused-layer device "
+                 "profile: 13.4 ms/call, of which convs are ~6.9 ms at their "
+                 "traffic floor; the remainder of the wall time is tunnel "
+                 "dispatch). The fused-layer row ties flash at B=128 and wins "
+                 "1.05-1.08x at B=8-64 and B=256-512 (docs/STATUS.md).")
     out = "\n".join(lines) + "\n"
     with open(out_path, "w") as f:
         f.write(out)
