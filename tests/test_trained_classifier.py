@@ -1,0 +1,87 @@
+"""Quantization Δ contract on the TRAINED vision model.
+
+Round-1 verdict: the MobileViT Δtop-1 numbers were only ever measured on
+untrained random nets. This pins the contract on `checkpoints/
+mobilevit_synth.ggml` — the tiny MobileViT trained to convergence in-repo
+on the deterministic grating task (tools/train_mobilevit_cls.py), shipped
+in the reference weight.ggml format:
+
+* held-out top-1 is perfect in fp32 AND under Q8_0/Q4_0 (Δtop-1 = 0.0%,
+  contract <= 0.1%, BASELINE.md),
+* logit fidelity is the discriminating metric at saturated top-1:
+  Q8_0 rel RMSE ~0.25%, Q4_0 ~4.6% (recorded 2026-08-18, TPU; thresholds
+  hold margin for CPU/TPU numeric drift).
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+CKPT = os.path.join(os.path.dirname(__file__), "..", "checkpoints", "mobilevit_synth.ggml")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(CKPT), reason="trained checkpoint not present"
+)
+
+
+@pytest.fixture(scope="module")
+def heldout():
+    from ggml_experiments_tpu.training.image_task import HELDOUT_SEED, make_dataset
+
+    # slice of the tool's 500-image held-out set, sized for CPU CI
+    return make_dataset(120, seed=HELDOUT_SEED, image_size=64)
+
+
+@pytest.fixture(scope="module")
+def models():
+    from ggml_experiments_tpu.models.mobilevit import load_mobilevit
+    from ggml_experiments_tpu.training.image_task import TINY_CLS_CONFIG
+
+    return {
+        qt: load_mobilevit(CKPT, config=TINY_CLS_CONFIG, qtype=qt,
+                           flash_attn=False, fused_layer=False)
+        for qt in (None, "q8_0", "q4_0")
+    }
+
+
+def _logits(params, images):
+    from ggml_experiments_tpu.models.mobilevit import classify
+
+    fn = jax.jit(classify)
+    return np.concatenate(
+        [np.asarray(fn(params, images[i:i + 60])) for i in range(0, len(images), 60)]
+    )
+
+
+def test_trained_top1_and_quantization_delta(heldout, models):
+    images, labels = heldout
+    logits = {qt: _logits(p, images) for qt, p in models.items()}
+    preds = {qt: lg.argmax(-1) for qt, lg in logits.items()}
+
+    # the model is genuinely trained: perfect held-out top-1
+    assert (preds[None] == labels).mean() == 1.0
+
+    # Δtop-1 contract (BASELINE.md: <= 0.1%) on a real decision boundary
+    assert (preds["q8_0"] == preds[None]).mean() >= 0.999
+    assert (preds["q4_0"] == preds[None]).mean() >= 0.99
+
+    # logit fidelity separates the bit-widths where top-1 saturates
+    ref = np.sqrt(np.mean(logits[None] ** 2))
+    rel8 = np.sqrt(np.mean((logits["q8_0"] - logits[None]) ** 2)) / ref
+    rel4 = np.sqrt(np.mean((logits["q4_0"] - logits[None]) ** 2)) / ref
+    assert rel8 < 0.02, rel8
+    assert rel4 < 0.15, rel4
+    assert rel8 < rel4  # more bits => closer logits
+
+
+def test_dataset_is_deterministic():
+    from ggml_experiments_tpu.training.image_task import make_dataset
+
+    a_img, a_lab = make_dataset(8, seed=99)
+    b_img, b_lab = make_dataset(8, seed=99)
+    np.testing.assert_array_equal(a_img, b_img)
+    np.testing.assert_array_equal(a_lab, b_lab)
+    c_img, _ = make_dataset(8, seed=100)
+    assert np.abs(a_img - c_img).max() > 0.01

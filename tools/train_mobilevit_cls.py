@@ -1,0 +1,74 @@
+"""Train + commit the synthetic-task MobileViT classifier (reference format).
+
+Fine-tunes the WHOLE tiny MobileViT (training/image_task.py: gradients flow
+through the traceable from_named_tensors assembly) on the deterministic
+grating dataset and writes ``checkpoints/mobilevit_synth.ggml`` in the
+reference weight.ggml format (formats/ggml_named.py) — so the trained vision
+model loads through the standard loader with any qtype. Prints a JSON
+report of held-out fp32/Q8_0/Q4_0 top-1 + agreement: the vision-side
+Δtop-1 contract artifact (tests/test_trained_classifier.py pins it).
+
+    python tools/train_mobilevit_cls.py          # ~2 min on the chip
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "checkpoints", "mobilevit_synth.ggml")
+
+
+def main() -> int:
+    from ggml_experiments_tpu.formats.ggml_named import write_named_tensors
+    from ggml_experiments_tpu.models.mobilevit import (
+        load_mobilevit, random_named_tensors,
+    )
+    from ggml_experiments_tpu.training.image_task import (
+        CLS_SEED, HELDOUT_SEED, TINY_CLS_CONFIG, TRAIN_SEED, make_dataset,
+        top1, train_model,
+    )
+
+    cfg = TINY_CLS_CONFIG
+    named = random_named_tensors(cfg, seed=CLS_SEED, classifier=True)
+    train_x, train_y = make_dataset(2000, seed=TRAIN_SEED, image_size=cfg.image_size)
+    test_x, test_y = make_dataset(500, seed=HELDOUT_SEED, image_size=cfg.image_size)
+
+    trained, loss = train_model(named, train_x, train_y, config=cfg)
+    write_named_tensors(OUT, sorted(trained.items()))
+    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes), final loss {loss:.4f}",
+          file=sys.stderr)
+
+    import jax
+    import numpy as np
+
+    from ggml_experiments_tpu.models.mobilevit import classify
+
+    report = {"final_loss": loss}
+    preds, logits = {}, {}
+    logit_fn = jax.jit(classify)
+    for qt in (None, "q8_0", "q4_0"):
+        p = load_mobilevit(OUT, config=cfg, qtype=qt)
+        yhat = top1(p, test_x)
+        preds[qt] = yhat
+        logits[qt] = np.concatenate(
+            [np.asarray(logit_fn(p, test_x[i:i + 100])) for i in range(0, len(test_x), 100)]
+        )
+        report[f"top1_{qt or 'f32'}"] = float((yhat == test_y).mean())
+    for qt in ("q8_0", "q4_0"):
+        report[f"agreement_{qt}"] = float((preds[qt] == preds[None]).mean())
+        report[f"dtop1_{qt}"] = report["top1_f32"] - report[f"top1_{qt}"]
+        # top-1 saturates on this task (trained nets are robust to both
+        # bit-widths), so the discriminating number is logit fidelity
+        report[f"rel_logit_rmse_{qt}"] = float(
+            np.sqrt(np.mean((logits[qt] - logits[None]) ** 2))
+            / (np.sqrt(np.mean(logits[None] ** 2)) + 1e-12)
+        )
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
