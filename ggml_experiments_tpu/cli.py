@@ -95,13 +95,17 @@ def cmd_features(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
-        MobileViTConfig, extract_features, load_mobilevit,
+        extract_features, from_named_tensors, infer_config,
     )
 
-    config = MobileViTConfig(image_size=args.image_size)
-    params = load_mobilevit(
-        args.weights, config=config, qtype=args.qtype,
+    # architecture comes off the weight shapes (the reference instead
+    # hardcodes hparams, main.cpp:35-53): reduced/resized exports just work
+    named = read_named_tensors(args.weights)
+    config = infer_config(named, image_size=args.image_size)
+    params = from_named_tensors(
+        named, config, qtype=args.qtype,
         conv_dtype="float16" if args.f16_convs else None,
         flash_attn=args.flash_attn,
         fused_layer=getattr(args, "fused_layer", None),
@@ -133,11 +137,15 @@ def cmd_classify(args) -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, classify, load_mobilevit
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+    from ggml_experiments_tpu.models.mobilevit import (
+        classify, from_named_tensors, infer_config,
+    )
 
-    config = MobileViTConfig()
-    params = load_mobilevit(
-        args.weights, config=config, qtype=args.qtype,
+    named = read_named_tensors(args.weights)
+    config = infer_config(named, image_size=getattr(args, "image_size", 256))
+    params = from_named_tensors(
+        named, config, qtype=args.qtype,
         flash_attn=getattr(args, "flash_attn", None),
         fused_layer=getattr(args, "fused_layer", None),
     )
@@ -423,6 +431,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("classify", help="MobileViT classification (needs classifier weights)")
     c.add_argument("--weights", required=True)
     c.add_argument("--image", default=None)
+    c.add_argument("--image-size", type=int, default=256,
+                   help="input resolution (not recoverable from weights)")
     c.add_argument("--top-k", type=int, default=5)
     c.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
                    help="fused Pallas attention (see `features --flash-attn`)")

@@ -496,6 +496,72 @@ def from_named_tensors(
     return params
 
 
+def infer_config(
+    tensors: Dict[str, np.ndarray],
+    *,
+    image_size: int = 256,
+    num_attention_heads: int = 4,
+) -> MobileViTConfig:
+    """Derive the architecture from a weight.ggml name map's shapes.
+
+    The reference hardcodes its hparams (main.cpp:35-53) and would crash on
+    any other export; here every width/stage-count is read off the tensors,
+    so reduced or resized exports (e.g. the in-repo trained
+    checkpoints/mobilevit_synth.ggml) load without a hand-built config.
+    ``image_size`` and ``num_attention_heads`` are not recoverable from
+    weight shapes (convs are size-agnostic; heads are a reshape) and stay
+    caller-provided.
+    """
+    prefix = _PREFIX
+    for key in tensors:
+        if "/mobilevit/conv_stem/" in key:
+            prefix = key.split("/mobilevit/")[0] + "/mobilevit"
+            break
+    enc = f"{prefix}/encoder"
+
+    def oc(path):
+        return tensors[f"{path}/convolution/kernel:0"].shape[-1]
+
+    stem = tensors[f"{prefix}/conv_stem/convolution/kernel:0"]
+    neck = [
+        oc(f"{prefix}/conv_stem"),
+        oc(f"{enc}/layer.0/layer.0/reduce_1x1"),
+        oc(f"{enc}/layer.1/layer.0/reduce_1x1"),
+        oc(f"{enc}/layer.2/downsampling_layer/reduce_1x1"),
+        oc(f"{enc}/layer.3/downsampling_layer/reduce_1x1"),
+        oc(f"{enc}/layer.4/downsampling_layer/reduce_1x1"),
+        oc(f"{prefix}/conv_1x1_exp"),
+    ]
+    hidden, n_layers = [], []
+    for li in (2, 3, 4):
+        hidden.append(oc(f"{enc}/layer.{li}/conv_1x1"))
+        n = 0
+        while f"{enc}/layer.{li}/transformer/layer.{n}/intermediate/dense/kernel:0" in tensors:
+            n += 1
+        n_layers.append(n)
+    inter = tensors[f"{enc}/layer.2/transformer/layer.0/intermediate/dense/kernel:0"]
+    expand = tensors[f"{enc}/layer.0/layer.0/expand_1x1/convolution/kernel:0"]
+    kxk = tensors[f"{enc}/layer.2/conv_kxk/convolution/kernel:0"]
+    num_labels = MobileViTConfig.num_labels
+    for cand in ("classifier/kernel:0",
+                 "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):
+        if cand in tensors:
+            num_labels = tensors[cand].shape[-1]
+            break
+    return MobileViTConfig(
+        num_channels=stem.shape[2],
+        image_size=image_size,
+        hidden_sizes=tuple(hidden),
+        neck_hidden_sizes=tuple(neck),
+        num_attention_heads=num_attention_heads,
+        mlp_ratio=inter.shape[1] / inter.shape[0],
+        expand_ratio=expand.shape[-1] / expand.shape[2],
+        conv_kernel_size=kxk.shape[0],
+        num_transformer_layers=tuple(n_layers),
+        num_labels=num_labels,
+    )
+
+
 def random_named_tensors(
     config: MobileViTConfig = MobileViTConfig(), *, seed: int = 0, classifier: bool = False
 ) -> Dict[str, np.ndarray]:

@@ -85,3 +85,26 @@ def test_dataset_is_deterministic():
     np.testing.assert_array_equal(a_lab, b_lab)
     c_img, _ = make_dataset(8, seed=100)
     assert np.abs(a_img - c_img).max() > 0.01
+
+
+def test_infer_config_roundtrip():
+    """infer_config recovers the architecture from weight shapes alone —
+    for the default full-size config AND the reduced trained one."""
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, infer_config, random_named_tensors,
+    )
+    from ggml_experiments_tpu.training.image_task import TINY_CLS_CONFIG
+
+    for cfg in (MobileViTConfig(), TINY_CLS_CONFIG):
+        named = random_named_tensors(cfg, seed=0, classifier=True)
+        assert infer_config(named, image_size=cfg.image_size) == cfg
+
+
+def test_classify_cli_on_trained_checkpoint(capsys):
+    from ggml_experiments_tpu.cli import main
+
+    rc = main(["classify", "--weights", CKPT, "--image-size", "64",
+               "--qtype", "q8_0", "--top-k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("class ") == 3 and "logit" in out
