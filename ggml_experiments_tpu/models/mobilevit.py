@@ -158,9 +158,26 @@ class MobileViTBlockParams:
         f = self.conv_1x1(self.conv_kxk(x, **cd), **cd)
         h, w = f.shape[1], f.shape[2]
         t = unfold(f, self.patch_size)               # (B, P, N, hidden)
-        for layer in self.transformer:
+        last = self.transformer[-1]
+        fuse_final_ln = (
+            last.fused and compute_dtype == jnp.bfloat16 and t.shape[-2] % 8 == 0
+        )
+        for layer in self.transformer[:-1]:
             t = layer(t, **cd)
-        t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
+        if fuse_final_ln:
+            # post-stack LN rides as the last fused layer's in-kernel
+            # epilogue — one fewer activation round trip per block
+            from ggml_experiments_tpu.ops.fused_transformer_layer import (
+                fused_transformer_layer,
+            )
+
+            t = fused_transformer_layer(
+                last, t, compute_dtype=compute_dtype,
+                final_ln=(self.ln_gamma, self.ln_beta),
+            )
+        else:
+            t = last(t, **cd)
+            t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
         f = fold(t, self.patch_size, h, w)
         f = self.conv_projection(f, **cd)
         return self.fusion(jnp.concatenate([residual, f], axis=-1), **cd)

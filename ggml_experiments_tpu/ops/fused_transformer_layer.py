@@ -50,7 +50,8 @@ from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
 
 # vecs_ref row layout (all f32, width C):
-_LN1_G, _LN1_B, _BQ, _BK, _BV, _BO, _LN2_G, _LN2_B, _BO2, _MASK0 = range(10)
+(_LN1_G, _LN1_B, _BQ, _BK, _BV, _BO, _LN2_G, _LN2_B, _BO2,
+ _LN3_G, _LN3_B, _MASK0) = range(12)
 
 
 def _ln(xf, gamma, beta, eps):
@@ -63,6 +64,7 @@ def _ln(xf, gamma, beta, eps):
 def _layer_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, wi_ref, wo2_ref, vecs_ref, bi_ref,
     o_ref, *, num_heads: int, scale: float, eps: float, compute_dtype,
+    final_ln: bool,
 ):
     """Row-wise ops (LN, projections, FFN) run once on the FLATTENED
     (G*L, C) block — at the short-sequence stages (L=16/64) per-sequence
@@ -110,6 +112,10 @@ def _layer_kernel(
     h1 = dot(y, wi_ref[:]) + bi_ref[0]                          # (G*L, F)
     h1 = (h1 * jax.nn.sigmoid(h1)).astype(cd)                   # SiLU (:1148)
     o = x1 + dot(h1, wo2_ref[:]) + vecs_ref[_BO2]
+    if final_ln:
+        # block-final layernorm epilogue (the LN after the transformer
+        # stack, main.cpp:1192-1209) — free here vs a full round trip
+        o = _ln(o, vecs_ref[_LN3_G], vecs_ref[_LN3_B], eps)
     o_ref[...] = o.astype(o_ref.dtype).reshape(g, l, c)
 
 
@@ -130,7 +136,7 @@ def _pick_rows_per_step(bp: int, l: int, c: int, f: int, num_heads: int,
 
 
 def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *,
-                      num_heads, eps, compute_dtype, interpret):
+                      num_heads, eps, compute_dtype, interpret, final_ln):
     bp, l, c = x3.shape
     f = wi.shape[-1]
     dh = c // num_heads
@@ -143,7 +149,7 @@ def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *,
     return pl.pallas_call(
         functools.partial(
             _layer_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
-            eps=eps, compute_dtype=compute_dtype,
+            eps=eps, compute_dtype=compute_dtype, final_ln=final_ln,
         ),
         grid=(bp // g,),
         in_specs=[
@@ -167,7 +173,7 @@ def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret):
+def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln):
     """Batch-partitionable wrapper: per-sequence problems are independent, so
     under a sharded jit the kernel must run per-shard on local batch rows
     (XLA's default would all-gather + replicate the pallas_call — the same
@@ -178,6 +184,7 @@ def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret):
         return _fused_layer_call(
             x3, wq, wk, wv, wo, wi, wo2, vecs, bi, num_heads=num_heads,
             eps=eps, compute_dtype=compute_dtype, interpret=interpret,
+            final_ln=final_ln,
         )
 
     def _batch_spec(arg_shapes):
@@ -230,12 +237,16 @@ def fused_transformer_layer(
     *,
     compute_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    final_ln=None,           # optional (gamma, beta): block-final LN epilogue
 ) -> jax.Array:
     """Run one pre-LN ViT encoder layer as a single fused Pallas kernel.
 
     Numerically matches ``TransformerLayerParams.__call__`` at the same
     compute dtype within bf16 noise (residual sums ride in f32 in-kernel).
     QTensor weights are dequantized in-graph outside the kernel.
+    ``final_ln=(gamma, beta)`` additionally applies the MobileViT block's
+    post-stack layernorm in-kernel (main.cpp:1192-1209) — the last layer of
+    a block takes this to save one full activation round trip.
     """
     *lead, l, c = x.shape
     att = p.attention
@@ -257,6 +268,7 @@ def fused_transformer_layer(
 
     head_ids = jnp.arange(c, dtype=jnp.int32) // (c // num_heads)
     masks = (head_ids[None, :] == jnp.arange(num_heads, dtype=jnp.int32)[:, None])
+    ln3_g, ln3_b = final_ln if final_ln is not None else (None, None)
     vecs = jnp.concatenate(
         [
             jnp.stack([
@@ -264,12 +276,15 @@ def fused_transformer_layer(
                 vec(att.bq), vec(att.bk), vec(att.bv), vec(att.bo),
                 vec(p.ln_after_gamma), vec(p.ln_after_beta),
                 vec(p.output_bias),
+                vec(ln3_g), vec(ln3_b),
             ]),
             masks.astype(jnp.float32),
         ]
     )
     bi = vec(p.intermediate_bias, f)[None, :]
 
-    fn = _fused_layer_partitioned(num_heads, float(p.eps), cd, interpret)
+    fn = _fused_layer_partitioned(
+        num_heads, float(p.eps), cd, interpret, final_ln is not None
+    )
     out = fn(x.reshape(bp, l, c).astype(cd), wq, wk, wv, wo, wi, wo2, vecs, bi)
     return out.reshape(*lead, l, c)
