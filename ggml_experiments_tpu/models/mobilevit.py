@@ -155,31 +155,51 @@ class MobileViTBlockParams:
         cd = dict(compute_dtype=compute_dtype)
         x = self.downsampling(x, **cd)
         residual = x
-        f = self.conv_1x1(self.conv_kxk(x, **cd), **cd)
-        h, w = f.shape[1], f.shape[2]
-        t = unfold(f, self.patch_size)               # (B, P, N, hidden)
-        last = self.transformer[-1]
-        fuse_final_ln = (
-            last.fused and compute_dtype == jnp.bfloat16 and t.shape[-2] % 8 == 0
+        k = self.conv_kxk(x, **cd)
+        h, w = k.shape[1], k.shape[2]
+        all_fused = (
+            all(layer.fused for layer in self.transformer)
+            and compute_dtype == jnp.bfloat16
+            and (h // self.patch_size) * (w // self.patch_size) % 8 == 0
         )
-        for layer in self.transformer[:-1]:
-            t = layer(t, **cd)
-        if fuse_final_ln:
-            # post-stack LN rides as the last fused layer's in-kernel
-            # epilogue — one fewer activation round trip per block
+        if all_fused:
+            # conv_1x1 and conv_projection are pointwise, so they commute
+            # with unfold/fold: they ride inside the first/last fused layer
+            # kernels as input/output projections. The unfold/fold copies
+            # also shrink to the narrower pre/post-projection widths.
             from ggml_experiments_tpu.ops.fused_transformer_layer import (
                 fused_transformer_layer,
             )
 
-            t = fused_transformer_layer(
-                last, t, compute_dtype=compute_dtype,
-                final_ln=(self.ln_gamma, self.ln_beta),
-            )
+            t = unfold(k, self.patch_size)           # (B, P, N, out_c)
+            n = len(self.transformer)
+            cin = k.shape[-1]
+            proj_bn = self.conv_projection.bn
+            for i, layer in enumerate(self.transformer):
+                kw = {}
+                if i == 0:
+                    kw["input_proj"] = self.conv_1x1.kernel.reshape(cin, -1)
+                if i == n - 1:
+                    kw["final_ln"] = (self.ln_gamma, self.ln_beta)
+                    pk = self.conv_projection.kernel
+                    kw["output_proj"] = (
+                        pk.reshape(pk.shape[-2], pk.shape[-1]),
+                        proj_bn.scale if proj_bn is not None
+                        else jnp.ones(pk.shape[-1], jnp.float32),
+                        proj_bn.bias if proj_bn is not None
+                        else jnp.zeros(pk.shape[-1], jnp.float32),
+                        self.conv_projection.activation,
+                    )
+                t = fused_transformer_layer(layer, t, compute_dtype=compute_dtype, **kw)
+            f = fold(t, self.patch_size, h, w)
         else:
-            t = last(t, **cd)
+            f = self.conv_1x1(k, **cd)
+            t = unfold(f, self.patch_size)           # (B, P, N, hidden)
+            for layer in self.transformer:
+                t = layer(t, **cd)
             t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
-        f = fold(t, self.patch_size, h, w)
-        f = self.conv_projection(f, **cd)
+            f = fold(t, self.patch_size, h, w)
+            f = self.conv_projection(f, **cd)
         return self.fusion(jnp.concatenate([residual, f], axis=-1), **cd)
 
 

@@ -63,16 +63,29 @@ def _ln(xf, gamma, beta, eps):
 
 def _layer_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, wi_ref, wo2_ref, vecs_ref, bi_ref,
-    o_ref, *, num_heads: int, scale: float, eps: float, compute_dtype,
-    final_ln: bool,
+    *refs, num_heads: int, scale: float, eps: float, compute_dtype,
+    final_ln: bool, in_proj: bool, out_proj: bool, out_act: bool,
 ):
     """Row-wise ops (LN, projections, FFN) run once on the FLATTENED
     (G*L, C) block — at the short-sequence stages (L=16/64) per-sequence
     dots leave the 128-row MXU almost empty, and flattening G sequences
     into the M dimension is free (leading-dim collapse, no relayout).
     Only the score/context dots, which couple rows within one sequence,
-    iterate per sequence."""
-    g, l, c = x_ref.shape
+    iterate per sequence.
+
+    ``in_proj``/``out_proj`` absorb the MobileViT block's pointwise
+    conv_1x1 / conv_projection (which commute with unfold/fold): x arrives
+    at the narrower pre-projection width and the projection runs in-VMEM;
+    symmetrically the output projection (+folded-BN affine, +SiLU) runs
+    before the store, so neither conv's activation ever round-trips HBM.
+    Trailing refs: [win] + [wout, oaff] + o_ref (positional, flag-gated)."""
+    refs = list(refs)
+    win_ref = refs.pop(0) if in_proj else None
+    wout_ref = refs.pop(0) if out_proj else None
+    oaff_ref = refs.pop(0) if out_proj else None
+    o_ref = refs.pop(0)
+    g, l, cin = x_ref.shape
+    c = win_ref.shape[1] if in_proj else cin
     cd = compute_dtype
 
     def dot(a, w):
@@ -80,7 +93,11 @@ def _layer_kernel(
             a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    xf = x_ref[...].reshape(g * l, c).astype(jnp.float32)       # (G*L, C)
+    if in_proj:
+        # conv_1x1 (no BN, no act, main.cpp:1183) as an in-kernel projection
+        xf = dot(x_ref[...].reshape(g * l, cin), win_ref[:])    # (G*L, C) f32
+    else:
+        xf = x_ref[...].reshape(g * l, c).astype(jnp.float32)   # (G*L, C)
     a = _ln(xf, vecs_ref[_LN1_G], vecs_ref[_LN1_B], eps).astype(cd)
     q = ((dot(a, wq_ref[:]) + vecs_ref[_BQ]) * scale).astype(cd)
     k = (dot(a, wk_ref[:]) + vecs_ref[_BK]).astype(cd)
@@ -116,7 +133,12 @@ def _layer_kernel(
         # block-final layernorm epilogue (the LN after the transformer
         # stack, main.cpp:1192-1209) — free here vs a full round trip
         o = _ln(o, vecs_ref[_LN3_G], vecs_ref[_LN3_B], eps)
-    o_ref[...] = o.astype(o_ref.dtype).reshape(g, l, c)
+    if out_proj:
+        # conv_projection + folded BN (+SiLU) epilogue (main.cpp:1215)
+        o = dot(o.astype(cd), wout_ref[:]) * oaff_ref[0] + oaff_ref[1]
+        if out_act:
+            o = o * jax.nn.sigmoid(o)                           # SiLU
+    o_ref[...] = o.astype(o_ref.dtype).reshape(g, l, o_ref.shape[-1])
 
 
 def _pick_rows_per_step(bp: int, l: int, c: int, f: int, num_heads: int,
@@ -135,56 +157,71 @@ def _pick_rows_per_step(bp: int, l: int, c: int, f: int, num_heads: int,
     return g
 
 
-def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *,
-                      num_heads, eps, compute_dtype, interpret, final_ln):
-    bp, l, c = x3.shape
+def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *extra,
+                      num_heads, eps, compute_dtype, interpret, final_ln,
+                      in_proj, out_proj, out_act):
+    bp, l, cin = x3.shape
+    c = wq.shape[0]
+    cout = extra[1 if in_proj else 0].shape[-1] if out_proj else c
     f = wi.shape[-1]
     dh = c // num_heads
-    g = _pick_rows_per_step(bp, l, c, f, num_heads)
-    spec = pl.BlockSpec((g, l, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    g = _pick_rows_per_step(bp, l, max(c, cin, cout), f, num_heads)
 
     def wspec(shape):
         return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
 
+    def xspec(width):
+        return pl.BlockSpec((g, l, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    extra_specs = []
+    if in_proj:
+        extra_specs.append(wspec((cin, c)))
+    if out_proj:
+        extra_specs.append(wspec((c, cout)))
+        extra_specs.append(wspec((2, cout)))
     return pl.pallas_call(
         functools.partial(
             _layer_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
             eps=eps, compute_dtype=compute_dtype, final_ln=final_ln,
+            in_proj=in_proj, out_proj=out_proj, out_act=out_act,
         ),
         grid=(bp // g,),
         in_specs=[
-            spec,
+            xspec(cin),
             wspec((c, c)), wspec((c, c)), wspec((c, c)), wspec((c, c)),
             wspec((c, f)), wspec((f, c)),
             wspec(vecs.shape), wspec((1, f)),
+            *extra_specs,
         ],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((bp, l, c), compute_dtype),
+        out_specs=xspec(cout),
+        out_shape=jax.ShapeDtypeStruct((bp, l, cout), compute_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             # attention dots + projections + FFN (logical flops; MXU padding
             # is the scheduler's problem, as everywhere else)
             flops=bp * (4 * num_heads * l * l * c + 8 * l * c * c + 4 * l * c * f),
-            bytes_accessed=2 * bp * l * c * jnp.dtype(compute_dtype).itemsize,
+            bytes_accessed=bp * l * (cin + cout) * jnp.dtype(compute_dtype).itemsize,
             transcendentals=bp * (num_heads * l * l + l * f),
         ),
         interpret=_default_interpret() if interpret is None else interpret,
-    )(x3, wq, wk, wv, wo, wi, wo2, vecs, bi)
+    )(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *extra)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln):
+def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln,
+                             in_proj, out_proj, out_act):
     """Batch-partitionable wrapper: per-sequence problems are independent, so
     under a sharded jit the kernel must run per-shard on local batch rows
     (XLA's default would all-gather + replicate the pallas_call — the same
     trap flash_attention/qmatmul document). Weights/vecs replicate; l/c stay
     whole per device."""
 
-    def core(x3, wq, wk, wv, wo, wi, wo2, vecs, bi):
+    def core(x3, *rest):
         return _fused_layer_call(
-            x3, wq, wk, wv, wo, wi, wo2, vecs, bi, num_heads=num_heads,
+            x3, *rest, num_heads=num_heads,
             eps=eps, compute_dtype=compute_dtype, interpret=interpret,
-            final_ln=final_ln,
+            final_ln=final_ln, in_proj=in_proj, out_proj=out_proj,
+            out_act=out_act,
         )
 
     def _batch_spec(arg_shapes):
@@ -193,6 +230,8 @@ def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln)
             return s.spec[0]
         return None
 
+    n_weights = 8 + (1 if in_proj else 0) + (2 if out_proj else 0)
+
     def infer(mesh, arg_shapes, result_shape):
         return NamedSharding(mesh, P(_batch_spec(arg_shapes), None, None))
 
@@ -200,22 +239,47 @@ def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln)
         b = _batch_spec(arg_shapes)
         xs = NamedSharding(mesh, P(b, None, None))
         rep2 = NamedSharding(mesh, P(None, None))
-        return mesh, core, xs, (xs,) + (rep2,) * 8
+        return mesh, core, xs, (xs,) + (rep2,) * n_weights
+
+    # Rule built per variant: every non-batch dim is a fresh replicated
+    # factor, except the output channel dim which shares its factor with
+    # the producing weight (wout's N when out_proj, win's N when only
+    # in_proj, x's C otherwise). Factors must be listed in order of first
+    # appearance (Shardy rejects unsorted special-factor indices).
+    terms = ["b l c"]
+    order = ["l", "c"]
+
+    def fresh(n):
+        out = []
+        for _ in range(n):
+            name = f"z{len(order)}"
+            order.append(name)
+            out.append(name)
+        return out
+
+    out_c = "c"
+    for _ in range(6):  # wq wk wv wo wi wo2
+        terms.append(" ".join(fresh(2)))
+    terms.append(" ".join(fresh(2)))  # vecs
+    terms.append(" ".join(fresh(2)))  # bi
+    if in_proj:
+        a, bn_ = fresh(2)
+        terms.append(f"{a} {bn_}")
+        out_c = bn_
+    if out_proj:
+        a, n = fresh(2)
+        terms.append(f"{a} {n}")
+        s_ = fresh(1)[0]
+        terms.append(f"{s_} {n}")
+        out_c = n
+    rule = ", ".join(terms) + f" -> b l {out_c}"
 
     fn = custom_partitioning(core)
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule=(
-            "b l c, c0 c1, c2 c3, c4 c5, c6 c7, c8 f0, f1 c9, r c10, u f2 "
-            "-> b l c"
-        ),
-        # factors listed in order of first appearance in the rule string
-        # (Shardy rejects unsorted special-factor indices)
-        need_replication_factors=(
-            "l", "c", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8",
-            "f0", "f1", "c9", "r", "c10", "u", "f2",
-        ),
+        sharding_rule=rule,
+        need_replication_factors=tuple(order),
     )
     return fn
 
@@ -233,11 +297,13 @@ def _as_float(w, dtype):
 
 def fused_transformer_layer(
     p,                       # TransformerLayerParams (duck-typed)
-    x: jax.Array,            # (..., L, C)
+    x: jax.Array,            # (..., L, C) — or (..., L, Cin) with input_proj
     *,
     compute_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
     final_ln=None,           # optional (gamma, beta): block-final LN epilogue
+    input_proj: Optional[jax.Array] = None,    # (Cin, C) pointwise prologue
+    output_proj=None,        # optional (kernel (C, Cout), scale, bias, act)
 ) -> jax.Array:
     """Run one pre-LN ViT encoder layer as a single fused Pallas kernel.
 
@@ -247,10 +313,16 @@ def fused_transformer_layer(
     ``final_ln=(gamma, beta)`` additionally applies the MobileViT block's
     post-stack layernorm in-kernel (main.cpp:1192-1209) — the last layer of
     a block takes this to save one full activation round trip.
+    ``input_proj``/``output_proj`` absorb the block's pointwise conv_1x1 /
+    conv_projection (they commute with unfold/fold): the first/last layer
+    of a block takes them so those convs' activations never touch HBM.
+    ``output_proj`` is (kernel, bn_scale, bn_bias, act) with act in
+    {"silu", "none"}; it applies after ``final_ln`` (block order).
     """
-    *lead, l, c = x.shape
+    *lead, l, cin = x.shape
     att = p.attention
     num_heads = att.num_heads
+    c = input_proj.shape[1] if input_proj is not None else cin
     if c % num_heads:
         raise ValueError(f"C={c} not divisible by num_heads={num_heads}")
     cd = compute_dtype
@@ -283,8 +355,25 @@ def fused_transformer_layer(
     )
     bi = vec(p.intermediate_bias, f)[None, :]
 
+    extra = []
+    out_act = False
+    cout = c
+    if input_proj is not None:
+        extra.append(input_proj.astype(cd))
+    if output_proj is not None:
+        wout, bn_scale, bn_bias, act = output_proj
+        cout = wout.shape[-1]
+        out_act = act == "silu"
+        if not out_act and act not in (None, "none"):
+            raise ValueError(f"unsupported output_proj activation {act!r}")
+        extra.append(wout.astype(cd))
+        extra.append(jnp.stack([bn_scale.astype(jnp.float32),
+                                bn_bias.astype(jnp.float32)]))
+
     fn = _fused_layer_partitioned(
-        num_heads, float(p.eps), cd, interpret, final_ln is not None
+        num_heads, float(p.eps), cd, interpret, final_ln is not None,
+        input_proj is not None, output_proj is not None, out_act,
     )
-    out = fn(x.reshape(bp, l, c).astype(cd), wq, wk, wv, wo, wi, wo2, vecs, bi)
-    return out.reshape(*lead, l, c)
+    out = fn(x.reshape(bp, l, cin).astype(cd), wq, wk, wv, wo, wi, wo2,
+             vecs, bi, *extra)
+    return out.reshape(*lead, l, cout)
