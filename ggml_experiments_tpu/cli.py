@@ -172,9 +172,10 @@ def cmd_quantize(args) -> int:
         tree = load_gru_params(args.input, qtype=qtype)
     else:
         from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
-        from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, from_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import from_named_tensors, infer_config
 
-        tree = from_named_tensors(read_named_tensors(args.input), MobileViTConfig(), qtype=qtype)
+        named = read_named_tensors(args.input)
+        tree = from_named_tensors(named, infer_config(named), qtype=qtype)
     checkpoint.save(args.output, tree)
     import os
 

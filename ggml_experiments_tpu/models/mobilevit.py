@@ -158,7 +158,8 @@ class MobileViTBlockParams:
         k = self.conv_kxk(x, **cd)
         h, w = k.shape[1], k.shape[2]
         all_fused = (
-            all(layer.fused for layer in self.transformer)
+            len(self.transformer) > 0
+            and all(layer.fused for layer in self.transformer)
             and compute_dtype == jnp.bfloat16
             and (h // self.patch_size) * (w // self.patch_size) % 8 == 0
         )
@@ -259,6 +260,26 @@ def classify(
 # ---------------------------------------------------------------------------
 
 _PREFIX = "tf_mobile_vi_t_model/mobilevit"
+_CLASSIFIER_KEYS = (
+    "classifier/kernel:0",
+    "tf_mobile_vi_t_for_image_classification/classifier/kernel:0",
+)
+
+
+def _detect_prefix(tensors) -> str:
+    """Root name prefix: TFMobileViTModel exports under tf_mobile_vi_t_model/
+    mobilevit/..., the classification export under its own root."""
+    for key in tensors:
+        if "/mobilevit/conv_stem/" in key:
+            return key.split("/mobilevit/")[0] + "/mobilevit"
+    return _PREFIX
+
+
+def _find_classifier_key(tensors):
+    for cand in _CLASSIFIER_KEYS:
+        if cand in tensors:
+            return cand
+    return None
 
 
 def _np16(arr: np.ndarray, conv_dtype: Optional[str]) -> np.ndarray:
@@ -480,11 +501,7 @@ def from_named_tensors(
         if fused_layer is None:
             fused_layer = on_tpu
     tm = _TensorMap(tensors)
-    prefix = _PREFIX
-    for key in tensors:
-        if "/mobilevit/conv_stem/" in key:
-            prefix = key.split("/mobilevit/")[0] + "/mobilevit"
-            break
+    prefix = _detect_prefix(tensors)
     neck = config.neck_hidden_sizes
     enc = f"{prefix}/encoder"
 
@@ -523,11 +540,10 @@ def from_named_tensors(
 
         params.conv_stem = space_to_depth_stem(params.conv_stem)
     # optional classifier head (exported from MobileViTForImageClassification)
-    for cand in ("classifier/kernel:0", "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):
-        if cand in tensors:
-            params.classifier_kernel = _maybe_q(tm.get(cand), qtype)
-            params.classifier_bias = jnp.asarray(tm.get(cand.replace("kernel", "bias")))
-            break
+    cls_key = _find_classifier_key(tensors)
+    if cls_key:
+        params.classifier_kernel = _maybe_q(tm.get(cls_key), qtype)
+        params.classifier_bias = jnp.asarray(tm.get(cls_key.replace("kernel", "bias")))
     if strict and tm.unused():
         raise ValueError(f"unused weights in file: {tm.unused()[:10]} ...")
     return params
@@ -549,11 +565,7 @@ def infer_config(
     weight shapes (convs are size-agnostic; heads are a reshape) and stay
     caller-provided.
     """
-    prefix = _PREFIX
-    for key in tensors:
-        if "/mobilevit/conv_stem/" in key:
-            prefix = key.split("/mobilevit/")[0] + "/mobilevit"
-            break
+    prefix = _detect_prefix(tensors)
     enc = f"{prefix}/encoder"
 
     def oc(path):
@@ -579,12 +591,8 @@ def infer_config(
     inter = tensors[f"{enc}/layer.2/transformer/layer.0/intermediate/dense/kernel:0"]
     expand = tensors[f"{enc}/layer.0/layer.0/expand_1x1/convolution/kernel:0"]
     kxk = tensors[f"{enc}/layer.2/conv_kxk/convolution/kernel:0"]
-    num_labels = MobileViTConfig.num_labels
-    for cand in ("classifier/kernel:0",
-                 "tf_mobile_vi_t_for_image_classification/classifier/kernel:0"):
-        if cand in tensors:
-            num_labels = tensors[cand].shape[-1]
-            break
+    cls_key = _find_classifier_key(tensors)
+    num_labels = tensors[cls_key].shape[-1] if cls_key else MobileViTConfig.num_labels
     return MobileViTConfig(
         num_channels=stem.shape[2],
         image_size=image_size,

@@ -38,7 +38,8 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     cfg = MobileViTConfig()
     named = random_named_tensors(cfg)
-    base = from_named_tensors(named, cfg, qtype="q8_0")
+    # fused_layer off: this tool A/Bs flash vs XLA attention specifically
+    base = from_named_tensors(named, cfg, qtype="q8_0", fused_layer=False)
     images = jnp.asarray(np.stack([synthetic_test_image(256)] * B))
     feat = jax.jit(functools.partial(extract_features, compute_dtype=jnp.bfloat16))
 

@@ -146,11 +146,9 @@ def main(out_path="PERF.md"):
     lines.append("")
     lines.append("SoL fraction = achieved / max-achievable given arithmetic intensity "
                  "(utils/observability.py; v5e peaks 197 TF bf16, 819 GB/s HBM). "
-                 "MobileViT's is vs its HBM-traffic floor (fused-layer device "
-                 "profile: 13.4 ms/call, of which convs are ~6.9 ms at their "
-                 "traffic floor; the remainder of the wall time is tunnel "
-                 "dispatch). The fused-layer row ties flash at B=128 and wins "
-                 "1.05-1.08x at B=8-64 and B=256-512 (docs/STATUS.md).")
+                 "MobileViT rows are measured against their HBM-traffic floors; "
+                 "device-profile breakdowns and batch-scaling comparisons live "
+                 "in docs/STATUS.md (tools/trace_report.py regenerates them).")
     out = "\n".join(lines) + "\n"
     with open(out_path, "w") as f:
         f.write(out)

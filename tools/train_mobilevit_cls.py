@@ -28,7 +28,7 @@ def main() -> int:
     )
     from ggml_experiments_tpu.training.image_task import (
         CLS_SEED, HELDOUT_SEED, TINY_CLS_CONFIG, TRAIN_SEED, make_dataset,
-        top1, train_model,
+        train_model,
     )
 
     cfg = TINY_CLS_CONFIG
@@ -51,12 +51,11 @@ def main() -> int:
     logit_fn = jax.jit(classify)
     for qt in (None, "q8_0", "q4_0"):
         p = load_mobilevit(OUT, config=cfg, qtype=qt)
-        yhat = top1(p, test_x)
-        preds[qt] = yhat
         logits[qt] = np.concatenate(
             [np.asarray(logit_fn(p, test_x[i:i + 100])) for i in range(0, len(test_x), 100)]
         )
-        report[f"top1_{qt or 'f32'}"] = float((yhat == test_y).mean())
+        preds[qt] = logits[qt].argmax(-1)
+        report[f"top1_{qt or 'f32'}"] = float((preds[qt] == test_y).mean())
     for qt in ("q8_0", "q4_0"):
         report[f"agreement_{qt}"] = float((preds[qt] == preds[None]).mean())
         report[f"dtop1_{qt}"] = report["top1_f32"] - report[f"top1_{qt}"]
