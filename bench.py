@@ -236,7 +236,7 @@ def main():
         # fused kernel (ops/fused_transformer_layer, 1.05-1.08x over flash
         # across batches); the headline q8_0 rows run the fused layer.
         for qt, attn, batches_ in (
-            (("q8_0", "fused-layer", (32, 128)), ("q8_0", "flash", (128,)),
+            (("q8_0", "fused-layer", (32, 128, 512)), ("q8_0", "flash", (128,)),
              ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer", (128,)))
             if on_tpu else (("q8_0", "xla-attn", (2,)),)
         ):

@@ -8,7 +8,9 @@ model loads through the standard loader with any qtype. Prints a JSON
 report of held-out fp32/Q8_0/Q4_0 top-1 + agreement: the vision-side
 Δtop-1 contract artifact (tests/test_trained_classifier.py pins it).
 
-    python tools/train_mobilevit_cls.py          # ~2 min on the chip
+    python tools/train_mobilevit_cls.py              # train + eval (~2 min on chip)
+    python tools/train_mobilevit_cls.py --eval-only  # re-run the report on the
+                                                     # committed checkpoint
 """
 
 import json
@@ -22,6 +24,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 
 def main() -> int:
+    eval_only = "--eval-only" in sys.argv[1:]
     from ggml_experiments_tpu.formats.ggml_named import write_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
         load_mobilevit, random_named_tensors,
@@ -32,14 +35,16 @@ def main() -> int:
     )
 
     cfg = TINY_CLS_CONFIG
-    named = random_named_tensors(cfg, seed=CLS_SEED, classifier=True)
-    train_x, train_y = make_dataset(2000, seed=TRAIN_SEED, image_size=cfg.image_size)
     test_x, test_y = make_dataset(500, seed=HELDOUT_SEED, image_size=cfg.image_size)
 
-    trained, loss = train_model(named, train_x, train_y, config=cfg)
-    write_named_tensors(OUT, sorted(trained.items()))
-    print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes), final loss {loss:.4f}",
-          file=sys.stderr)
+    loss = None
+    if not eval_only:
+        named = random_named_tensors(cfg, seed=CLS_SEED, classifier=True)
+        train_x, train_y = make_dataset(2000, seed=TRAIN_SEED, image_size=cfg.image_size)
+        trained, loss = train_model(named, train_x, train_y, config=cfg)
+        write_named_tensors(OUT, sorted(trained.items()))
+        print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes), final loss {loss:.4f}",
+              file=sys.stderr)
 
     import jax
     import numpy as np
