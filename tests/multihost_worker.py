@@ -53,6 +53,8 @@ def main():
         out.update(run_train(mesh))
     elif scenario == "serve":
         out.update(run_serve(mesh))
+    elif scenario == "vision":
+        out.update(run_vision(mesh))
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 
@@ -137,6 +139,46 @@ def run_serve(mesh):
         for (prompt, new), h in zip(specs, handles):
             results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
     return {"tokens": results, "device_steps": eng.stats.device_steps}
+
+
+def run_vision(mesh):
+    """DP MobileViT forward across hosts THROUGH the fused whole-layer
+    kernel (interpret mode on CPU): each host feeds its local batch slice;
+    the fused kernel's custom_partitioning rule must keep shards local and
+    every host must see identical global features."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
+    )
+    from ggml_experiments_tpu.parallel.multihost import (
+        global_array_from_host_data, host_local_batch_slice,
+    )
+
+    cfg = MobileViTConfig(
+        image_size=64, hidden_sizes=(16, 24, 32),
+        neck_hidden_sizes=(8, 16, 16, 24, 32, 40, 64),
+        num_transformer_layers=(1, 1, 1),
+    )
+    params = from_named_tensors(
+        random_named_tensors(cfg, seed=3), cfg, flash_attn=False, fused_layer=True
+    )
+    rng = np.random.default_rng(9)
+    imgs = rng.standard_normal((8, 64, 64, 3)).astype(np.float32)
+    gi = global_array_from_host_data(mesh, P("data"), imgs[host_local_batch_slice(8)])
+    feats = jax.jit(extract_features, static_argnames=("compute_dtype",))(
+        params, gi, compute_dtype=jnp.bfloat16
+    )
+    # gather the global result on every host for the parity check
+    full = np.asarray(
+        jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))(feats),
+        np.float32,
+    )
+    return {
+        "checksum": float(np.abs(full).sum()),
+        "first": [float(v) for v in full[0, 0, 0, :4]],
+    }
 
 
 if __name__ == "__main__":

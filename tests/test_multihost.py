@@ -120,6 +120,38 @@ def test_two_process_serving_session():
         np.testing.assert_array_equal(got, want)
 
 
+def test_two_process_vision_forward():
+    """DP MobileViT inference across 2 processes, fused-layer kernel active:
+    hosts agree bit-for-bit and match the single-process oracle."""
+    r0, r1 = _run_two_process("vision")
+    assert r0["checksum"] == r1["checksum"]
+    assert r0["first"] == r1["first"]
+
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, extract_features, from_named_tensors, random_named_tensors,
+    )
+
+    cfg = MobileViTConfig(
+        image_size=64, hidden_sizes=(16, 24, 32),
+        neck_hidden_sizes=(8, 16, 16, 24, 32, 40, 64),
+        num_transformer_layers=(1, 1, 1),
+    )
+    params = from_named_tensors(
+        random_named_tensors(cfg, seed=3), cfg, flash_attn=False, fused_layer=True
+    )
+    imgs = np.random.default_rng(9).standard_normal((8, 64, 64, 3)).astype(np.float32)
+    want = np.asarray(
+        extract_features(params, jnp.asarray(imgs), compute_dtype=jnp.bfloat16),
+        np.float32,
+    )
+    np.testing.assert_allclose(r0["first"], want[0, 0, 0, :4], rtol=2e-2, atol=1e-3)
+    np.testing.assert_allclose(
+        r0["checksum"], np.abs(want).sum(), rtol=2e-2
+    )
+
+
 def test_single_process_degenerates():
     initialize()  # no-op single host
     assert jax.process_count() == 1
