@@ -60,6 +60,13 @@ def read_named_tensors_py(path: str) -> Dict[str, np.ndarray]:
             out[name] = arr
 
 
+def _read_exact(f: BinaryIO, n: int, what: str) -> bytes:
+    buf = f.read(n)
+    if len(buf) != n:
+        raise EOFError(f"truncated {what} ({len(buf)}/{n} bytes)")
+    return buf
+
+
 def _read_record(f: BinaryIO) -> Optional[Tuple[str, np.ndarray]]:
     head = f.read(4)
     if len(head) == 0:
@@ -69,11 +76,13 @@ def _read_record(f: BinaryIO) -> Optional[Tuple[str, np.ndarray]]:
     (name_len,) = struct.unpack("<i", head)
     if not 0 < name_len < 4096:
         raise ValueError(f"implausible name length {name_len}")
-    name = f.read(name_len).decode("ascii")
-    (n_dims,) = struct.unpack("<i", f.read(4))
+    name = _read_exact(f, name_len, "tensor name").decode("ascii")
+    (n_dims,) = struct.unpack("<i", _read_exact(f, 4, f"{name} n_dims"))
     if not 0 < n_dims <= 4:
         raise ValueError(f"{name}: implausible n_dims {n_dims}")
-    dims = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+    dims = struct.unpack(f"<{n_dims}i", _read_exact(f, 4 * n_dims, f"{name} dims"))
+    if any(d <= 0 for d in dims):
+        raise ValueError(f"{name}: implausible dims {dims}")
     count = int(np.prod(dims))
     data = np.fromfile(f, dtype="<f4", count=count)
     if data.size != count:

@@ -34,10 +34,19 @@ from ggml_experiments_tpu.quant import quantize
 
 def _read_tensor(f: BinaryIO) -> Optional[np.ndarray]:
     head = f.read(4)
-    if len(head) < 4:
+    if len(head) == 0:
         return None
+    if len(head) < 4:
+        raise EOFError("truncated gru.bin record header")
     (n_dims,) = struct.unpack("<i", head)
-    dims = struct.unpack(f"<{n_dims}i", f.read(4 * n_dims))
+    if not 0 < n_dims <= 4:
+        raise ValueError(f"implausible gru.bin n_dims {n_dims}")
+    body = f.read(4 * n_dims)
+    if len(body) != 4 * n_dims:
+        raise EOFError(f"truncated gru.bin dims ({len(body)}/{4 * n_dims} bytes)")
+    dims = struct.unpack(f"<{n_dims}i", body)
+    if any(d <= 0 for d in dims):
+        raise ValueError(f"implausible gru.bin dims {dims}")
     shape = tuple(reversed(dims))  # file stores dims reversed
     count = int(np.prod(shape))
     data = np.fromfile(f, dtype="<f4", count=count)

@@ -156,11 +156,21 @@ int64_t ggml_named_index(const char* path,
                          int64_t cap_entries) {
     FILE* f = fopen(path, "rb");
     if (!f) return -GXT_ERR_IO;
+    fseeko(f, 0, SEEK_END);
+    const int64_t fsize = (int64_t)ftello(f);
+    fseeko(f, 0, SEEK_SET);
     int64_t count = 0, name_used = 0;
     for (;;) {
+        const int64_t rec_start = (int64_t)ftello(f);
         int32_t name_len;
         size_t r = fread(&name_len, sizeof(int32_t), 1, f);
-        if (r != 1) break;  // clean EOF
+        if (r != 1) {
+            // clean EOF only if the record boundary IS the file end; a
+            // partial trailing header is truncation, not EOF (the python
+            // reader errors here too — parity)
+            if (rec_start != fsize) { fclose(f); return -GXT_ERR_FORMAT; }
+            break;
+        }
         if (name_len <= 0 || name_len >= 4096 || count >= cap_entries ||
             name_used + name_len + 1 > cap_names) { fclose(f); return -GXT_ERR_FORMAT; }
         if (fread(name_buf + name_used, 1, (size_t)name_len, f) != (size_t)name_len) {
@@ -184,7 +194,10 @@ int64_t ggml_named_index(const char* path,
             numel *= d;
         }
         data_offset[count] = (int64_t)ftello(f);
-        if (fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
+        // fseek past EOF succeeds on regular files — bound-check the
+        // payload against the real file size instead
+        if (data_offset[count] + numel * (int64_t)sizeof(float) > fsize ||
+            fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
             fclose(f); return -GXT_ERR_FORMAT;
         }
         count++;
@@ -201,11 +214,18 @@ int64_t gru_bin_index(const char* path,
                       int64_t cap_entries) {
     FILE* f = fopen(path, "rb");
     if (!f) return -GXT_ERR_IO;
+    fseeko(f, 0, SEEK_END);
+    const int64_t fsize = (int64_t)ftello(f);
+    fseeko(f, 0, SEEK_SET);
     int64_t count = 0;
     for (;;) {
+        const int64_t rec_start = (int64_t)ftello(f);
         int32_t nd;
         size_t r = fread(&nd, sizeof(int32_t), 1, f);
-        if (r != 1) break;
+        if (r != 1) {
+            if (rec_start != fsize) { fclose(f); return -GXT_ERR_FORMAT; }
+            break;
+        }
         if (nd <= 0 || nd > 4 || count >= cap_entries) { fclose(f); return -GXT_ERR_FORMAT; }
         n_dims[count] = nd;
         int64_t numel = 1;
@@ -220,7 +240,8 @@ int64_t gru_bin_index(const char* path,
             numel *= d;
         }
         data_offset[count] = (int64_t)ftello(f);
-        if (fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
+        if (data_offset[count] + numel * (int64_t)sizeof(float) > fsize ||
+            fseeko(f, numel * (int64_t)sizeof(float), SEEK_CUR) != 0) {
             fclose(f); return -GXT_ERR_FORMAT;
         }
         count++;

@@ -79,3 +79,77 @@ def test_preprocess_wide_image_margin_zero():
 
 def test_synthetic_image_size_param():
     assert synthetic_test_image(64).shape == (64, 64, 3)
+
+
+def _every_truncation(data, tmp_path, reader, valid_prefixes):
+    """Reader must either return a clean whole-record prefix or raise a
+    controlled error (ValueError/EOFError) at EVERY truncation point —
+    never a struct.error, reshape crash, or silently dropped tail."""
+    p = tmp_path / "trunc.bin"
+    for n in range(len(data) + 1):
+        p.write_bytes(data[:n])
+        try:
+            reader(str(p))
+        except (ValueError, EOFError, KeyError):
+            assert n not in valid_prefixes, f"valid prefix {n} rejected"
+        else:
+            assert n in valid_prefixes, f"truncation at {n} silently accepted"
+
+
+def test_named_reader_truncation_fuzz(tmp_path):
+    """Both the python and native weight.ggml parsers agree on the
+    truncation contract at every byte boundary (the native fseek-past-EOF
+    and partial-trailing-header holes are regression-pinned here)."""
+    from ggml_experiments_tpu.formats.ggml_named import (
+        read_named_tensors, read_named_tensors_py, write_named_tensors,
+    )
+
+    tensors = [("a/kernel:0", np.ones((3, 4), np.float32)),
+               ("b/bias:0", np.arange(5, dtype=np.float32))]
+    p = tmp_path / "w.ggml"
+    write_named_tensors(str(p), tensors)
+    data = p.read_bytes()
+    rec1 = 4 + len("a/kernel:0") + 4 + 2 * 4 + 12 * 4
+    valid = {0, rec1, len(data)}
+    _every_truncation(data, tmp_path, read_named_tensors_py, valid)
+    _every_truncation(data, tmp_path, read_named_tensors, valid)
+
+
+def test_gru_bin_truncation_fuzz(tmp_path):
+    from ggml_experiments_tpu.formats.gru_bin import read_tensors, read_tensors_py
+
+    data = b""
+    for arr in (np.ones((2, 3), np.float32), np.arange(4, dtype=np.float32)):
+        data += struct.pack("<i", arr.ndim)
+        for d in reversed(arr.shape):
+            data += struct.pack("<i", d)
+        data += arr.astype("<f4").tobytes()
+    rec1 = 4 + 2 * 4 + 6 * 4
+    valid = {0, rec1, len(data)}
+    _every_truncation(data, tmp_path, read_tensors_py, valid)
+    _every_truncation(data, tmp_path, read_tensors, valid)
+
+
+def test_named_reader_corruption(tmp_path):
+    """Hostile headers (huge/negative name_len, ndims, dims) raise
+    controlled errors on both parser paths — no giant allocations."""
+    from ggml_experiments_tpu.formats.ggml_named import (
+        read_named_tensors, read_named_tensors_py, write_named_tensors,
+    )
+
+    p = tmp_path / "w.ggml"
+    write_named_tensors(str(p), [("a/kernel:0", np.ones((3, 4), np.float32))])
+    data = p.read_bytes()
+    patches = [
+        struct.pack("<i", 1 << 30) + data[4:],
+        struct.pack("<i", -5) + data[4:],
+        data[:14] + struct.pack("<i", 100) + data[18:],
+        data[:18] + struct.pack("<i", -3) + data[22:],
+        data[:18] + struct.pack("<i", 1 << 30) + data[22:],
+    ]
+    q = tmp_path / "bad.ggml"
+    for patch in patches:
+        q.write_bytes(patch)
+        for reader in (read_named_tensors_py, read_named_tensors):
+            with pytest.raises((ValueError, EOFError)):
+                reader(str(q))
