@@ -311,15 +311,36 @@ def cmd_eval(args) -> int:
         rep = evaluation.eval_gru_delta(ref, q, seqs)
     else:
         from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
-        from ggml_experiments_tpu.models.mobilevit import MobileViTConfig, from_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import from_named_tensors, infer_config
         from ggml_experiments_tpu.utils.image import synthetic_test_image
 
         tensors = read_named_tensors(args.weights)
-        config = MobileViTConfig()
+        config = infer_config(tensors, image_size=getattr(args, "image_size", 256))
         ref = from_named_tensors(tensors, config)
         q = from_named_tensors(tensors, config, qtype=qtype)
         imgs = np.stack([synthetic_test_image(config.image_size)] * args.batch)
         rep = evaluation.eval_mobilevit_delta(ref, q, imgs)
+        if ref.classifier_kernel is not None:
+            # checkpoint carries a head: report the classification-level
+            # contract too — q-vs-fp32 top-1 agreement on the deterministic
+            # grating set, plus accuracy when the head IS the in-repo
+            # synthetic-task one (label space matches)
+            from ggml_experiments_tpu.training.image_task import (
+                HELDOUT_SEED, NUM_CLASSES, make_dataset, top1,
+            )
+
+            n = max(args.batch, 64)
+            test_x, test_y = make_dataset(n, seed=HELDOUT_SEED,
+                                          image_size=config.image_size)
+            pr = top1(ref, test_x)
+            pq = top1(q, test_x)
+            extra = {"top1_agreement": float((pr == pq).mean())}
+            if config.num_labels == NUM_CLASSES:
+                extra["top1_f32"] = float((pr == test_y).mean())
+                extra["top1_q"] = float((pq == test_y).mean())
+                extra["dtop1"] = extra["top1_f32"] - extra["top1_q"]
+            print(json.dumps({"qtype": qtype, **rep.as_dict(), **extra}))
+            return 0
     print(json.dumps({"qtype": qtype, **rep.as_dict()}))
     return 0
 
@@ -470,6 +491,8 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--length", type=int, default=64, help="sequence length (GRU eval)")
     e.add_argument("--corpus", default=None,
                    help="held-out text for GRU eval (default: random token seqs)")
+    e.add_argument("--image-size", type=int, default=256,
+                   help="input resolution for MobileViT eval")
     e.add_argument("--seed", type=int, default=0)
     _add_common(e)
     e.set_defaults(fn=cmd_eval)

@@ -108,3 +108,19 @@ def test_classify_cli_on_trained_checkpoint(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("class ") == 3 and "logit" in out
+
+
+def test_eval_cli_reports_vision_contract(capsys):
+    """`gxt eval` on the trained checkpoint prints feature deltas AND the
+    classification contract (agreement / dtop-1)."""
+    import json
+
+    from ggml_experiments_tpu.cli import main
+
+    rc = main(["eval", "--weights", CKPT, "--image-size", "64",
+               "--qtype", "q8_0", "--batch", "16"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["top1_agreement"] >= 0.999
+    assert abs(rep["dtop1"]) <= 0.001
+    assert rep["rel_rmse"] < 0.02
