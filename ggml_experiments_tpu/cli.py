@@ -103,7 +103,8 @@ def cmd_features(args) -> int:
     # architecture comes off the weight shapes (the reference instead
     # hardcodes hparams, main.cpp:35-53): reduced/resized exports just work
     named = read_named_tensors(args.weights)
-    config = infer_config(named, image_size=args.image_size)
+    config = infer_config(named, image_size=args.image_size,
+                          num_attention_heads=args.num_heads)
     params = from_named_tensors(
         named, config, qtype=args.qtype,
         conv_dtype="float16" if args.f16_convs else None,
@@ -143,7 +144,8 @@ def cmd_classify(args) -> int:
     )
 
     named = read_named_tensors(args.weights)
-    config = infer_config(named, image_size=getattr(args, "image_size", 256))
+    config = infer_config(named, image_size=getattr(args, "image_size", 256),
+                          num_attention_heads=getattr(args, "num_heads", 4))
     params = from_named_tensors(
         named, config, qtype=args.qtype,
         flash_attn=getattr(args, "flash_attn", None),
@@ -315,11 +317,13 @@ def cmd_eval(args) -> int:
         from ggml_experiments_tpu.utils.image import synthetic_test_image
 
         tensors = read_named_tensors(args.weights)
-        config = infer_config(tensors, image_size=getattr(args, "image_size", 256))
+        config = infer_config(tensors, image_size=getattr(args, "image_size", 256),
+                              num_attention_heads=getattr(args, "num_heads", 4))
         ref = from_named_tensors(tensors, config)
         q = from_named_tensors(tensors, config, qtype=qtype)
         imgs = np.stack([synthetic_test_image(config.image_size)] * args.batch)
         rep = evaluation.eval_mobilevit_delta(ref, q, imgs)
+        extra = {}
         if ref.classifier_kernel is not None:
             # checkpoint carries a head: report the classification-level
             # contract too — q-vs-fp32 top-1 agreement on the deterministic
@@ -334,13 +338,13 @@ def cmd_eval(args) -> int:
                                           image_size=config.image_size)
             pr = top1(ref, test_x)
             pq = top1(q, test_x)
-            extra = {"top1_agreement": float((pr == pq).mean())}
+            extra["top1_agreement"] = float((pr == pq).mean())
             if config.num_labels == NUM_CLASSES:
                 extra["top1_f32"] = float((pr == test_y).mean())
                 extra["top1_q"] = float((pq == test_y).mean())
                 extra["dtop1"] = extra["top1_f32"] - extra["top1_q"]
-            print(json.dumps({"qtype": qtype, **rep.as_dict(), **extra}))
-            return 0
+        print(json.dumps({"qtype": qtype, **rep.as_dict(), **extra}))
+        return 0
     print(json.dumps({"qtype": qtype, **rep.as_dict()}))
     return 0
 
@@ -447,6 +451,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "round trip per layer; default: auto — on for TPU)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
+    f.add_argument("--num-heads", type=int, default=4,
+                   help="attention heads (not recoverable from weight shapes)")
     _add_common(f)
     f.set_defaults(fn=cmd_features)
 
@@ -455,6 +461,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--image", default=None)
     c.add_argument("--image-size", type=int, default=256,
                    help="input resolution (not recoverable from weights)")
+    c.add_argument("--num-heads", type=int, default=4,
+                   help="attention heads (not recoverable from weight shapes)")
     c.add_argument("--top-k", type=int, default=5)
     c.add_argument("--flash-attn", action=argparse.BooleanOptionalAction, default=None,
                    help="fused Pallas attention (see `features --flash-attn`)")
@@ -493,6 +501,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="held-out text for GRU eval (default: random token seqs)")
     e.add_argument("--image-size", type=int, default=256,
                    help="input resolution for MobileViT eval")
+    e.add_argument("--num-heads", type=int, default=4,
+                   help="attention heads for MobileViT eval")
     e.add_argument("--seed", type=int, default=0)
     _add_common(e)
     e.set_defaults(fn=cmd_eval)

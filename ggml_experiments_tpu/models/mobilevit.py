@@ -182,6 +182,7 @@ class MobileViTBlockParams:
                     kw["input_proj"] = self.conv_1x1.kernel.reshape(cin, -1)
                 if i == n - 1:
                     kw["final_ln"] = (self.ln_gamma, self.ln_beta)
+                    kw["final_ln_eps"] = self.eps
                     pk = self.conv_projection.kernel
                     kw["output_proj"] = (
                         pk.reshape(pk.shape[-2], pk.shape[-1]),
@@ -567,11 +568,12 @@ def infer_config(
     """
     prefix = _detect_prefix(tensors)
     enc = f"{prefix}/encoder"
+    tm = _TensorMap(tensors)  # .get gives did-you-mean KeyErrors
 
     def oc(path):
-        return tensors[f"{path}/convolution/kernel:0"].shape[-1]
+        return tm.get(f"{path}/convolution/kernel:0").shape[-1]
 
-    stem = tensors[f"{prefix}/conv_stem/convolution/kernel:0"]
+    stem = tm.get(f"{prefix}/conv_stem/convolution/kernel:0")
     neck = [
         oc(f"{prefix}/conv_stem"),
         oc(f"{enc}/layer.0/layer.0/reduce_1x1"),
@@ -588,9 +590,9 @@ def infer_config(
         while f"{enc}/layer.{li}/transformer/layer.{n}/intermediate/dense/kernel:0" in tensors:
             n += 1
         n_layers.append(n)
-    inter = tensors[f"{enc}/layer.2/transformer/layer.0/intermediate/dense/kernel:0"]
-    expand = tensors[f"{enc}/layer.0/layer.0/expand_1x1/convolution/kernel:0"]
-    kxk = tensors[f"{enc}/layer.2/conv_kxk/convolution/kernel:0"]
+    inter = tm.get(f"{enc}/layer.2/transformer/layer.0/intermediate/dense/kernel:0")
+    expand = tm.get(f"{enc}/layer.0/layer.0/expand_1x1/convolution/kernel:0")
+    kxk = tm.get(f"{enc}/layer.2/conv_kxk/convolution/kernel:0")
     cls_key = _find_classifier_key(tensors)
     num_labels = tensors[cls_key].shape[-1] if cls_key else MobileViTConfig.num_labels
     return MobileViTConfig(

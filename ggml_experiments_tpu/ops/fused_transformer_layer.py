@@ -46,8 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
-from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
+from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret, dequant_in_graph
+from ggml_experiments_tpu.quant.qtensor import QTensor
 
 # vecs_ref row layout (all f32, width C):
 (_LN1_G, _LN1_B, _BQ, _BK, _BV, _BO, _LN2_G, _LN2_B, _BO2,
@@ -63,8 +63,9 @@ def _ln(xf, gamma, beta, eps):
 
 def _layer_kernel(
     x_ref, wq_ref, wk_ref, wv_ref, wo_ref, wi_ref, wo2_ref, vecs_ref, bi_ref,
-    *refs, num_heads: int, scale: float, eps: float, compute_dtype,
-    final_ln: bool, in_proj: bool, out_proj: bool, out_act: bool,
+    *refs, num_heads: int, scale: float, eps: float, final_eps: float,
+    compute_dtype, final_ln: bool, in_proj: bool, out_proj: bool,
+    out_act: bool,
 ):
     """Row-wise ops (LN, projections, FFN) run once on the FLATTENED
     (G*L, C) block — at the short-sequence stages (L=16/64) per-sequence
@@ -131,8 +132,9 @@ def _layer_kernel(
     o = x1 + dot(h1, wo2_ref[:]) + vecs_ref[_BO2]
     if final_ln:
         # block-final layernorm epilogue (the LN after the transformer
-        # stack, main.cpp:1192-1209) — free here vs a full round trip
-        o = _ln(o, vecs_ref[_LN3_G], vecs_ref[_LN3_B], eps)
+        # stack, main.cpp:1192-1209) — free here vs a full round trip;
+        # uses the BLOCK's eps, which need not equal the layer's
+        o = _ln(o, vecs_ref[_LN3_G], vecs_ref[_LN3_B], final_eps)
     if out_proj:
         # conv_projection + folded BN (+SiLU) epilogue (main.cpp:1215)
         o = dot(o.astype(cd), wout_ref[:]) * oaff_ref[0] + oaff_ref[1]
@@ -158,8 +160,8 @@ def _pick_rows_per_step(bp: int, l: int, c: int, f: int, num_heads: int,
 
 
 def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *extra,
-                      num_heads, eps, compute_dtype, interpret, final_ln,
-                      in_proj, out_proj, out_act):
+                      num_heads, eps, final_eps, compute_dtype, interpret,
+                      final_ln, in_proj, out_proj, out_act):
     bp, l, cin = x3.shape
     c = wq.shape[0]
     cout = extra[1 if in_proj else 0].shape[-1] if out_proj else c
@@ -182,8 +184,9 @@ def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *extra,
     return pl.pallas_call(
         functools.partial(
             _layer_kernel, num_heads=num_heads, scale=1.0 / math.sqrt(dh),
-            eps=eps, compute_dtype=compute_dtype, final_ln=final_ln,
-            in_proj=in_proj, out_proj=out_proj, out_act=out_act,
+            eps=eps, final_eps=final_eps, compute_dtype=compute_dtype,
+            final_ln=final_ln, in_proj=in_proj, out_proj=out_proj,
+            out_act=out_act,
         ),
         grid=(bp // g,),
         in_specs=[
@@ -208,8 +211,8 @@ def _fused_layer_call(x3, wq, wk, wv, wo, wi, wo2, vecs, bi, *extra,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln,
-                             in_proj, out_proj, out_act):
+def _fused_layer_partitioned(num_heads, eps, final_eps, compute_dtype,
+                             interpret, final_ln, in_proj, out_proj, out_act):
     """Batch-partitionable wrapper: per-sequence problems are independent, so
     under a sharded jit the kernel must run per-shard on local batch rows
     (XLA's default would all-gather + replicate the pallas_call — the same
@@ -219,9 +222,9 @@ def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln,
     def core(x3, *rest):
         return _fused_layer_call(
             x3, *rest, num_heads=num_heads,
-            eps=eps, compute_dtype=compute_dtype, interpret=interpret,
-            final_ln=final_ln, in_proj=in_proj, out_proj=out_proj,
-            out_act=out_act,
+            eps=eps, final_eps=final_eps, compute_dtype=compute_dtype,
+            interpret=interpret, final_ln=final_ln, in_proj=in_proj,
+            out_proj=out_proj, out_act=out_act,
         )
 
     def _batch_spec(arg_shapes):
@@ -285,13 +288,10 @@ def _fused_layer_partitioned(num_heads, eps, compute_dtype, interpret, final_ln,
 
 
 def _as_float(w, dtype):
-    """Traceable dequantize-to-dtype (the _xla_dequant_dot recipe — QTensor
-    .dequantize() is numpy-only and would break under jit)."""
+    """Traceable dequantize-to-dtype (shares quant.dequant_in_graph with the
+    unfused XLA-fallback path, so the two routes cannot drift)."""
     if isinstance(w, QTensor):
-        codes = unpack_q4(w.codes) if w.qtype == "q4_0" else w.codes.astype(jnp.float32)
-        kp, np_ = codes.shape
-        deq = (codes.reshape(kp // BLOCK, BLOCK, np_) * w.scales[:, None, :]).reshape(kp, np_)
-        w = deq[: w.k, : w.n]
+        w = dequant_in_graph(w)
     return w.astype(dtype)
 
 
@@ -302,6 +302,7 @@ def fused_transformer_layer(
     compute_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
     final_ln=None,           # optional (gamma, beta): block-final LN epilogue
+    final_ln_eps: Optional[float] = None,      # block eps (default: layer eps)
     input_proj: Optional[jax.Array] = None,    # (Cin, C) pointwise prologue
     output_proj=None,        # optional (kernel (C, Cout), scale, bias, act)
 ) -> jax.Array:
@@ -371,7 +372,9 @@ def fused_transformer_layer(
                                 bn_bias.astype(jnp.float32)]))
 
     fn = _fused_layer_partitioned(
-        num_heads, float(p.eps), cd, interpret, final_ln is not None,
+        num_heads, float(p.eps),
+        float(p.eps if final_ln_eps is None else final_ln_eps),
+        cd, interpret, final_ln is not None,
         input_proj is not None, output_proj is not None, out_act,
     )
     out = fn(x.reshape(bp, l, cin).astype(cd), wq, wk, wv, wo, wi, wo2,

@@ -254,12 +254,20 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
     return out.reshape(*batch_shape, n)
 
 
-def _xla_dequant_dot(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:
-    """In-graph dequantize + dot for small weights (traceable, scan-hoistable)."""
+def dequant_in_graph(qt: QTensor) -> jax.Array:
+    """Traceable dequantize to a dense f32 ``(k, n)`` array — the ONE
+    in-graph dequant implementation (QTensor.dequantize() is numpy-only);
+    shared by the XLA fallback dot and the fused-transformer-layer weight
+    prep so their numerics cannot drift apart."""
     codes = unpack_q4(qt.codes) if qt.qtype == "q4_0" else qt.codes.astype(jnp.float32)
     kp, np_ = codes.shape
     w = (codes.reshape(kp // BLOCK, BLOCK, np_) * qt.scales[:, None, :]).reshape(kp, np_)
-    w = w[: qt.k, : qt.n]
+    return w[: qt.k, : qt.n]
+
+
+def _xla_dequant_dot(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:
+    """In-graph dequantize + dot for small weights (traceable, scan-hoistable)."""
+    w = dequant_in_graph(qt)
     precision = (
         jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )

@@ -190,6 +190,12 @@ int64_t ggml_named_index(const char* path,
             if (fread(&d, sizeof(int32_t), 1, f) != 1 || d <= 0) {
                 fclose(f); return -GXT_ERR_FORMAT;
             }
+            // overflow-safe: no payload can exceed the file, so cap the
+            // running product BEFORE multiplying (numel*d could wrap int64
+            // on hostile dims, which is UB and would skip the bound check)
+            if (numel > (fsize / (int64_t)sizeof(float)) / d) {
+                fclose(f); return -GXT_ERR_FORMAT;
+            }
             dims[count * 4 + i] = d;
             numel *= d;
         }
@@ -234,6 +240,9 @@ int64_t gru_bin_index(const char* path,
             int32_t d;
             if (fread(&d, sizeof(int32_t), 1, f) != 1 || d <= 0) {
                 fclose(f); return -GXT_ERR_FORMAT;
+            }
+            if (numel > (fsize / (int64_t)sizeof(float)) / d) {
+                fclose(f); return -GXT_ERR_FORMAT;  // overflow-safe cap (see above)
             }
             // file stores dims reversed; emit numpy (row-major) order
             dims[count * 4 + (nd - 1 - i)] = d;

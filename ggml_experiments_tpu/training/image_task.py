@@ -127,16 +127,32 @@ def train_model(
     return {k: np.asarray(v) for k, v in trainable.items()}, float(l)
 
 
-def top1(params, images: np.ndarray, *, batch: int = 64,
-         compute_dtype=None) -> np.ndarray:
-    """Predicted labels through the full (quantizable) classify path."""
+def _top1_fn():
+    # module-level jit cache: a fresh jitted lambda per call would recompile
+    # the full forward every invocation (jit caches by function identity)
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ggml_experiments_tpu.models.mobilevit import classify
 
+    @functools.lru_cache(maxsize=None)
+    def by_dtype(cd):
+        return jax.jit(
+            lambda p, im: jnp.argmax(classify(p, im, compute_dtype=cd), axis=-1)
+        )
+
+    return by_dtype
+
+
+def top1(params, images: np.ndarray, *, batch: int = 64,
+         compute_dtype=None) -> np.ndarray:
+    """Predicted labels through the full (quantizable) classify path."""
+    import jax.numpy as jnp
+
     cd = compute_dtype if compute_dtype is not None else jnp.float32
-    fn = jax.jit(lambda p, im: jnp.argmax(classify(p, im, compute_dtype=cd), axis=-1))
+    fn = _top1_fn()(cd)
     out = [
         np.asarray(fn(params, jnp.asarray(images[i:i + batch])))
         for i in range(0, len(images), batch)
