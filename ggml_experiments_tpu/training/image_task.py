@@ -101,18 +101,21 @@ def train_model(
     trainable = {k: jnp.asarray(v) for k, v in named.items()}
     opt = optax.adam(lr)
     state = opt.init(trainable)
-    imgs_d = jnp.asarray(images)
-    labs_d = jnp.asarray(labels)
+    # the dataset is a jit ARGUMENT, never a closure capture: closed-over
+    # arrays bake into the compiled program as constants (a 256px train set
+    # is ~0.8 GB — the remote-compile hop rejects the HLO outright)
+    imgs_d = jax.device_put(jnp.asarray(images))
+    labs_d = jax.device_put(jnp.asarray(labels))
 
-    def loss_fn(tr, idx):
+    def loss_fn(tr, idx, imgs, labs):
         p = from_named_tensors(tr, config, flash_attn=False, fused_layer=False)
-        logits = classify(p, jnp.take(imgs_d, idx, axis=0))
-        lb = jnp.take(labs_d, idx, axis=0)
+        logits = classify(p, jnp.take(imgs, idx, axis=0))
+        lb = jnp.take(labs, idx, axis=0)
         return optax.softmax_cross_entropy_with_integer_labels(logits, lb).mean()
 
     @jax.jit
-    def step(tr, st, idx):
-        loss, g = jax.value_and_grad(loss_fn)(tr, idx)
+    def step(tr, st, idx, imgs, labs):
+        loss, g = jax.value_and_grad(loss_fn)(tr, idx, imgs, labs)
         up, st = opt.update(g, st)
         return optax.apply_updates(tr, up), st, loss
 
@@ -120,7 +123,7 @@ def train_model(
     loss = float("nan")
     for s in range(steps):
         idx = jnp.asarray(rng.choice(len(images), batch, replace=False))
-        trainable, state, l = step(trainable, state, idx)
+        trainable, state, l = step(trainable, state, idx, imgs_d, labs_d)
         if log_every and (s % log_every == 0 or s == steps - 1):
             loss = float(l)
             print(f"step {s}: loss {loss:.4f}", flush=True)

@@ -124,3 +124,42 @@ def test_eval_cli_reports_vision_contract(capsys):
     assert rep["top1_agreement"] >= 0.999
     assert abs(rep["dtop1"]) <= 0.001
     assert rep["rel_rmse"] < 0.02
+
+
+FULL_CKPT = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints", "mobilevit_synth_full.ggml"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(FULL_CKPT),
+                    reason="full-size trained checkpoint not present")
+def test_full_size_trained_contract():
+    """The FULL 256px architecture trained end-to-end in-repo: held-out
+    top-1 and the q8 contract hold at the real model scale (small sample —
+    the 500-image report lives in the tool / checkpoints/README.md)."""
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, infer_config, load_mobilevit,
+    )
+    from ggml_experiments_tpu.training.image_task import HELDOUT_SEED, make_dataset
+
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+
+    named = read_named_tensors(FULL_CKPT)
+    cfg = infer_config(named)
+    # it really is the full-size architecture
+    assert cfg.hidden_sizes == MobileViTConfig.hidden_sizes
+    assert cfg.neck_hidden_sizes == MobileViTConfig.neck_hidden_sizes
+    assert cfg.num_transformer_layers == MobileViTConfig.num_transformer_layers
+
+    images, labels = make_dataset(16, seed=HELDOUT_SEED, image_size=256)
+    logits = {}
+    for qt in (None, "q8_0"):
+        p = load_mobilevit(FULL_CKPT, config=cfg, qtype=qt,
+                           flash_attn=False, fused_layer=False)
+        logits[qt] = _logits(p, images)
+    preds = {qt: lg.argmax(-1) for qt, lg in logits.items()}
+    assert (preds[None] == labels).mean() >= 15 / 16
+    assert (preds["q8_0"] == preds[None]).mean() == 1.0
+    ref = np.sqrt(np.mean(logits[None] ** 2))
+    rel8 = np.sqrt(np.mean((logits["q8_0"] - logits[None]) ** 2)) / ref
+    assert rel8 < 0.05, rel8

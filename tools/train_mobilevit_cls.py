@@ -8,9 +8,10 @@ model loads through the standard loader with any qtype. Prints a JSON
 report of held-out fp32/Q8_0/Q4_0 top-1 + agreement: the vision-side
 Δtop-1 contract artifact (tests/test_trained_classifier.py pins it).
 
-    python tools/train_mobilevit_cls.py              # train + eval (~2 min on chip)
-    python tools/train_mobilevit_cls.py --eval-only  # re-run the report on the
-                                                     # committed checkpoint
+    python tools/train_mobilevit_cls.py              # tiny config (~2 min on chip)
+    python tools/train_mobilevit_cls.py --full       # FULL 256px architecture
+                                                     # (checkpoints/mobilevit_synth_full.ggml)
+    python tools/train_mobilevit_cls.py --eval-only [--full]   # re-run the report
 """
 
 import json
@@ -19,12 +20,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "checkpoints", "mobilevit_synth.ggml")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "checkpoints", "mobilevit_synth.ggml")
+OUT_FULL = os.path.join(REPO, "checkpoints", "mobilevit_synth_full.ggml")
 
 
 def main() -> int:
     eval_only = "--eval-only" in sys.argv[1:]
+    full = "--full" in sys.argv[1:]
     from ggml_experiments_tpu.formats.ggml_named import write_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
         load_mobilevit, random_named_tensors,
@@ -34,16 +37,31 @@ def main() -> int:
         train_model,
     )
 
-    cfg = TINY_CLS_CONFIG
-    test_x, test_y = make_dataset(500, seed=HELDOUT_SEED, image_size=cfg.image_size)
+    from ggml_experiments_tpu.models.mobilevit import MobileViTConfig
+
+    if full:
+        # the real 256px/144-192-240/2-4-3 architecture, 10-class head; the
+        # 256px images are 16x the tiny pixels, so fewer but bigger samples.
+        # lr measured: 1e-3 diverges at this depth (loss pinned at ln 10),
+        # 3e-4 converges below 1e-3 loss within ~150 steps
+        cfg, out, n_train, n_test, steps, batch, lr = (
+            MobileViTConfig(num_labels=10), OUT_FULL, 1000, 200, 400, 32, 3e-4,
+        )
+    else:
+        cfg, out, n_train, n_test, steps, batch, lr = (
+            TINY_CLS_CONFIG, OUT, 2000, 500, 600, 100, 1e-3,
+        )
+    test_x, test_y = make_dataset(n_test, seed=HELDOUT_SEED, image_size=cfg.image_size)
 
     loss = None
     if not eval_only:
         named = random_named_tensors(cfg, seed=CLS_SEED, classifier=True)
-        train_x, train_y = make_dataset(2000, seed=TRAIN_SEED, image_size=cfg.image_size)
-        trained, loss = train_model(named, train_x, train_y, config=cfg)
-        write_named_tensors(OUT, sorted(trained.items()))
-        print(f"wrote {OUT} ({os.path.getsize(OUT)} bytes), final loss {loss:.4f}",
+        train_x, train_y = make_dataset(n_train, seed=TRAIN_SEED,
+                                        image_size=cfg.image_size)
+        trained, loss = train_model(named, train_x, train_y, config=cfg,
+                                    steps=steps, batch=batch, lr=lr)
+        write_named_tensors(out, sorted(trained.items()))
+        print(f"wrote {out} ({os.path.getsize(out)} bytes), final loss {loss:.4f}",
               file=sys.stderr)
 
     import jax
@@ -55,7 +73,7 @@ def main() -> int:
     preds, logits = {}, {}
     logit_fn = jax.jit(classify)
     for qt in (None, "q8_0", "q4_0"):
-        p = load_mobilevit(OUT, config=cfg, qtype=qt)
+        p = load_mobilevit(out, config=cfg, qtype=qt)
         logits[qt] = np.concatenate(
             [np.asarray(logit_fn(p, test_x[i:i + 100])) for i in range(0, len(test_x), 100)]
         )
