@@ -46,7 +46,12 @@ def main():
     from ggml_experiments_tpu.parallel import make_mesh
     from ggml_experiments_tpu.parallel.multihost import sync_hosts
 
-    mesh = make_mesh((nproc, 4))  # data axis spans hosts; model axis is host-local
+    if scenario == "tp":
+        # model axis spans BOTH hosts: TP collectives (column-parallel gate
+        # psums, row-parallel head reductions) cross the process boundary
+        mesh = make_mesh((1, 4 * nproc))
+    else:
+        mesh = make_mesh((nproc, 4))  # data spans hosts; model is host-local
     out = {"pid": pid, "scenario": scenario}
 
     if scenario == "train":
@@ -55,6 +60,8 @@ def main():
         out.update(run_serve(mesh))
     elif scenario == "vision":
         out.update(run_vision(mesh))
+    elif scenario == "tp":
+        out.update(run_tp(mesh))
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 
@@ -139,6 +146,48 @@ def run_serve(mesh):
         for (prompt, new), h in zip(specs, handles):
             results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
     return {"tokens": results, "device_steps": eng.stats.device_steps}
+
+
+def run_tp(mesh):
+    """Train steps on a (1, 8) mesh — every TP collective is cross-host.
+    The batch is replicated (each host feeds the identical full batch);
+    losses/params must be bit-identical on both hosts and match the
+    single-process oracle."""
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.parallel.sharding import gru_param_specs, place
+    from ggml_experiments_tpu.training.gru_trainer import make_train_step
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(5))
+    )
+    params = place(params, gru_param_specs(params), mesh)
+    opt = optax.adam(1e-3)
+    opt_state = jax.jit(opt.init)(params)
+    step = make_train_step(opt, mesh)
+
+    rng = np.random.default_rng(77)
+    losses = []
+    repl = NamedSharding(mesh, P("data"))  # data axis size 1 -> replicated
+    for _ in range(3):
+        inputs = rng.integers(0, 66, (8, 16)).astype(np.int32)
+        targets = np.roll(inputs, -1, axis=1)
+        gi = jax.make_array_from_process_local_data(repl, inputs, inputs.shape)
+        gt = jax.make_array_from_process_local_data(repl, targets, targets.shape)
+        params, opt_state, loss = step(params, opt_state, gi, gt)
+        losses.append(float(loss))
+    checksum = float(
+        jax.jit(
+            lambda p: sum(jnp.sum(jnp.abs(x))
+                          for x in jax.tree_util.tree_leaves(p))
+        )(params)
+    )
+    return {"losses": losses, "checksum": checksum}
 
 
 def run_vision(mesh):

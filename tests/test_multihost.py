@@ -152,6 +152,43 @@ def test_two_process_vision_forward():
     )
 
 
+def test_two_process_tensor_parallel():
+    """TP across the host boundary: the model axis spans both processes, so
+    every gate/head collective is cross-host. Hosts agree bit-for-bit and
+    match the single-process (1, 8) oracle."""
+    r0, r1 = _run_two_process("tp")
+    assert r0["losses"] == r1["losses"]
+    assert r0["checksum"] == r1["checksum"]
+
+    import jax.numpy as jnp
+    import optax
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.parallel.sharding import gru_param_specs, place
+    from ggml_experiments_tpu.training.gru_trainer import make_train_step
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(5))
+    )
+    mesh = make_mesh((1, 8))
+    params = place(params, gru_param_specs(params), mesh)
+    opt = optax.adam(1e-3)
+    opt_state = jax.jit(opt.init)(params)
+    step = make_train_step(opt, mesh)
+    rng = np.random.default_rng(77)
+    want = []
+    for _ in range(3):
+        inputs = rng.integers(0, 66, (8, 16)).astype(np.int32)
+        targets = np.roll(inputs, -1, axis=1)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(inputs), jnp.asarray(targets)
+        )
+        want.append(float(loss))
+    np.testing.assert_allclose(r0["losses"], want, rtol=1e-5)
+
+
 def test_single_process_degenerates():
     initialize()  # no-op single host
     assert jax.process_count() == 1
