@@ -46,7 +46,7 @@ def main():
     from ggml_experiments_tpu.parallel import make_mesh
     from ggml_experiments_tpu.parallel.multihost import sync_hosts
 
-    if scenario == "tp":
+    if scenario in ("tp", "tp_serve"):
         # model axis spans BOTH hosts: TP collectives (column-parallel gate
         # psums, row-parallel head reductions) cross the process boundary
         mesh = make_mesh((1, 4 * nproc))
@@ -62,6 +62,8 @@ def main():
         out.update(run_vision(mesh))
     elif scenario == "tp":
         out.update(run_tp(mesh))
+    elif scenario == "tp_serve":
+        out.update(run_serve(mesh))  # continuous batching, TP across hosts
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 

@@ -189,6 +189,32 @@ def test_two_process_tensor_parallel():
     np.testing.assert_allclose(r0["losses"], want, rtol=1e-5)
 
 
+def test_two_process_tp_serving_session():
+    """Continuous-batching serving with the MODEL axis spanning both hosts:
+    every decode step's TP collectives are cross-host, and the primary's
+    tokens still match the single-process offline decode exactly."""
+    r0, r1 = _run_two_process("tp_serve")
+    assert r0["device_steps"] == r1["device_steps"] > 0
+    assert r0["tokens"] and r1["tokens"] == {}
+
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    for prompt, new in [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]:
+        ids = np.asarray(prompt, np.int32)[None, :]
+        want = np.asarray(
+            gru_textgen.generate(
+                params, jnp.asarray(ids),
+                jnp.asarray([len(prompt)], np.int32), len(prompt) + new,
+            )
+        )[0]
+        np.testing.assert_array_equal(r0["tokens"][str(tuple(prompt))], want)
+
+
 def test_single_process_degenerates():
     initialize()  # no-op single host
     assert jax.process_count() == 1
