@@ -204,6 +204,7 @@ def cmd_train_gru(args) -> int:
             epochs=args.epochs, checkpoint_path=args.checkpoint,
             log_every=args.log_every, eval_every=args.eval_every,
             compute_dtype=compute_dtype,
+            resume_path=args.resume, save_every=args.save_every,
         ),
         data_config=DataConfig(seq_length=args.seq_length, batch_size=args.batch_size),
         seed=args.seed,
@@ -517,6 +518,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--seed", type=int, default=0)
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--checkpoint", default=None, help="best-by-loss .gxt path")
+    t.add_argument("--resume", default=None,
+                   help="full train-state .gxt (params+Adam+step): written every "
+                        "--save-every steps, and an existing file resumes the "
+                        "interrupted run bit-exactly")
+    t.add_argument("--save-every", type=int, default=0,
+                   help="steps between train-state saves (needs --resume)")
     t.add_argument("--output", default=None, help="export final weights as gru.bin")
     t.add_argument("--eval-corpus", default=None, help="held-out text for val ppl")
     t.add_argument("--eval-every", type=int, default=0,

@@ -36,6 +36,9 @@ _DTYPES = {
     "int8": np.int8,
     "uint8": np.uint8,
     "int32": np.int32,
+    "int64": np.int64,   # train-state step counters
+    "uint32": np.uint32,
+    "bool": np.bool_,
 }
 
 

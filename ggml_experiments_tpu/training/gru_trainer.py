@@ -33,6 +33,13 @@ class TrainConfig:
     checkpoint_path: Optional[str] = None
     remat: bool = False           # jax.checkpoint the cell (long sequences)
     eval_every: int = 0           # >0: held-out ppl every N steps (needs eval data)
+    # Exact crash-resume: ``resume_path`` holds the FULL train state
+    # (params + Adam state + step); ``save_every > 0`` rewrites it every N
+    # steps, and a train() started with an existing resume_path continues
+    # bit-exactly where the interrupted run stopped (the reference's Keras
+    # ModelCheckpoint is weights-only — a restart loses the optimizer).
+    resume_path: Optional[str] = None
+    save_every: int = 0
     # Mixed precision: bfloat16 runs the forward/backward matmuls single-pass
     # on the MXU and stores scan activations in bf16, while params, grads (at
     # the param boundary), Adam state and the CE loss all stay float32 — the
@@ -124,10 +131,34 @@ def train(
     a validation perplexity to the history every N steps — the Keras
     validation_data analog the reference's script lacks.
     """
+    import os
+
+    import numpy as _np
+
     optimizer = optax.adam(cfg.learning_rate)
     if mesh is not None:
         params = place(params, gru_param_specs(params), mesh)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if cfg.resume_path and os.path.exists(cfg.resume_path):
+        from ggml_experiments_tpu.formats.checkpoint import load_into
+
+        state = load_into(cfg.resume_path, {
+            "params": params, "opt_state": opt_state,
+            "step": _np.zeros((), _np.int64),
+        })
+        params, opt_state = state["params"], state["opt_state"]
+        start_step = int(state["step"]) + 1  # saved AFTER that step ran
+        if mesh is not None:
+            params = place(params, gru_param_specs(params), mesh)
+            # adam state's mu/nu mirror the param tree — re-place them with
+            # the same specs (count stays replicated)
+            inner, *rest = opt_state
+            inner = inner._replace(
+                mu=place(inner.mu, gru_param_specs(inner.mu), mesh),
+                nu=place(inner.nu, gru_param_specs(inner.nu), mesh),
+            )
+            opt_state = (inner, *rest)
     step_fn = make_train_step(
         optimizer, mesh, remat=cfg.remat, compute_dtype=cfg.compute_dtype
     )
@@ -159,9 +190,22 @@ def train(
     sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS)) if mesh is not None else None
     history = []
     t0 = time.time()
+    if start_step:
+        # the batch stream is deterministic (seeded); skip what the
+        # interrupted run already consumed BEFORE prefetch transfers it
+        import itertools
+
+        batches = itertools.islice(batches, start_step, None)
     stream = prefetch_to_device(batches, sharding=sharding)
-    for i, (inputs, targets) in enumerate(stream):
+    for i, (inputs, targets) in enumerate(stream, start=start_step):
         params, opt_state, loss = step_fn(params, opt_state, inputs, targets)
+        if cfg.resume_path and cfg.save_every and i % cfg.save_every == 0:
+            from ggml_experiments_tpu.formats import checkpoint as _ckpt
+
+            _ckpt.save(cfg.resume_path, {
+                "params": params, "opt_state": opt_state,
+                "step": _np.int64(i),
+            })
         do_eval = eval_fn is not None and i % cfg.eval_every == 0
         if i % cfg.log_every == 0 or manager is not None or do_eval:
             loss_val = float(loss)

@@ -170,3 +170,44 @@ def test_onehot_ce_matches_optax_oracle():
     oracle = float(optax.softmax_cross_entropy_with_integer_labels(
         logits, targets).mean())
     np.testing.assert_allclose(ours, oracle, rtol=1e-6)
+
+
+def test_exact_resume_matches_uninterrupted(tmp_path):
+    """Crash-resume is EXACT: interrupt a run mid-stream, resume from the
+    full train-state checkpoint (params + Adam state + step), and the final
+    params are bit-identical to the uninterrupted run (the reference's
+    weights-only ModelCheckpoint cannot do this — a restart loses the
+    optimizer moments)."""
+    import jax
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.training.gru_trainer import TrainConfig, train
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=8, units=16)
+    rng = np.random.default_rng(3)
+
+    def make_stream():
+        out = []
+        for _ in range(6):
+            b = rng.integers(0, 66, (4, 10)).astype(np.int32)
+            out.append((b, np.roll(b, -1, axis=1)))
+        return out
+
+    batches = make_stream()
+    init = gru_textgen.init_params(cfg, jax.random.PRNGKey(0))
+    copy = lambda p: jax.tree_util.tree_map(lambda a: np.array(a), p)  # noqa: E731
+
+    # uninterrupted oracle
+    want, _ = train(copy(init), list(batches), TrainConfig(log_every=1))
+
+    # interrupted: 4 steps (0..3), state saved every 2 steps -> last at 2
+    ck = str(tmp_path / "resume.gxt")
+    tc = TrainConfig(log_every=1, resume_path=ck, save_every=2)
+    train(copy(init), list(batches)[:4], tc)
+    # resume: skips steps 0..2? no — skips 0..(saved step), continues at 3
+    got, hist = train(copy(init), list(batches), tc)
+    assert hist[0]["step"] == 3  # resumed, not restarted
+
+    for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
