@@ -11,19 +11,17 @@ import sys
 import jax.numpy as jnp
 import numpy as np
 
-from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
 from ggml_experiments_tpu.models.mobilevit import (
+    MobileViTConfig,
     extract_features,
-    from_named_tensors,
-    infer_config,
+    load_mobilevit,
 )
 from ggml_experiments_tpu.utils.image import load_and_preprocess, synthetic_test_image
 
 
 def main(weights: str, image: str = None):
-    named = read_named_tensors(weights)
-    config = infer_config(named)  # architecture comes off the weight shapes
-    params = from_named_tensors(named, config, qtype="q8_0")
+    config = MobileViTConfig()  # input resolution; architecture is inferred
+    params = load_mobilevit(weights, qtype="q8_0")
     img = load_and_preprocess(image) if image else synthetic_test_image(config.image_size)
     feats = np.asarray(
         extract_features(params, jnp.asarray(img)[None], compute_dtype=jnp.bfloat16)

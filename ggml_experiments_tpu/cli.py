@@ -213,10 +213,13 @@ def cmd_train_gru(args) -> int:
     if args.output:
         save_gru_params(args.output, params)
         print(f"exported weights to {args.output} (reference gru.bin format)")
-    summary = {"final_loss": history[-1]["loss"], "steps": history[-1]["step"]}
-    val = [h["val_ppl"] for h in history if "val_ppl" in h]
-    if val:
-        summary["final_val_ppl"] = val[-1]
+    if history:
+        summary = {"final_loss": history[-1]["loss"], "steps": history[-1]["step"]}
+        val = [h["val_ppl"] for h in history if "val_ppl" in h]
+        if val:
+            summary["final_val_ppl"] = val[-1]
+    else:  # resumed past the end of the stream: a completed run is a no-op
+        summary = {"resumed_complete": True}
     print(json.dumps(summary))
     return 0
 

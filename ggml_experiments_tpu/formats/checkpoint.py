@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import struct
 from typing import Any, Dict, List, Tuple
 
@@ -64,7 +65,11 @@ def _np_for_write(arr) -> Tuple[np.ndarray, str]:
 
 
 def save(path: str, tree: Any) -> None:
-    """Serialize a pytree of jax/np arrays and QTensors to ``path``."""
+    """Serialize a pytree of jax/np arrays and QTensors to ``path``.
+
+    The write is ATOMIC (temp file + os.replace): checkpoints exist to
+    survive crashes, so a crash mid-save must leave the previous good file
+    intact rather than a truncated one."""
     leaves = jax.tree_util.tree_flatten_with_path(tree, is_leaf=lambda x: isinstance(x, QTensor))[0]
     entries: List[Dict] = []
     blobs: List[np.ndarray] = []
@@ -96,7 +101,8 @@ def save(path: str, tree: Any) -> None:
         e["nbytes"] = int(b.nbytes)
         off += b.nbytes
     header = json.dumps({"version": 1, "tensors": entries}).encode()
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(MAGIC)
         f.write(struct.pack("<Q", len(header)))
         f.write(header)
@@ -104,6 +110,7 @@ def save(path: str, tree: Any) -> None:
         for e, b in zip(entries, blobs):
             f.seek(base + e["offset"])
             f.write(b.tobytes())
+    os.replace(tmp, path)
 
 
 def load_arrays(path: str) -> Dict[str, Any]:

@@ -679,8 +679,15 @@ def random_named_tensors(
     return out
 
 
-def load_mobilevit(path: str, **kw) -> MobileViTParams:
-    """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py)."""
+def load_mobilevit(path: str, config: Optional[MobileViTConfig] = None,
+                   **kw) -> MobileViTParams:
+    """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py).
+
+    With ``config=None`` the architecture is inferred from the weight
+    shapes (:func:`infer_config`) — any-sized export loads directly."""
     from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
 
-    return from_named_tensors(read_named_tensors(path), **kw)
+    named = read_named_tensors(path)
+    if config is None:
+        config = infer_config(named)
+    return from_named_tensors(named, config, **kw)

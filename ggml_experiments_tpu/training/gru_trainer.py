@@ -140,15 +140,31 @@ def train(
         params = place(params, gru_param_specs(params), mesh)
     opt_state = optimizer.init(params)
     start_step = 0
+    resumed_best = None
     if cfg.resume_path and os.path.exists(cfg.resume_path):
         from ggml_experiments_tpu.formats.checkpoint import load_into
 
         state = load_into(cfg.resume_path, {
             "params": params, "opt_state": opt_state,
-            "step": _np.zeros((), _np.int64),
+            "step": _np.zeros((), _np.int32),
+            "best": _np.zeros((), _np.float32),
         })
+        # clear mismatch error instead of a shape failure deep inside jit
+        # (the stream itself cannot be validated — resume assumes the same
+        # seeded corpus/batches, which skipping start_step relies on)
+        for (kp, old), new in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_leaves(state["params"]),
+        ):
+            if old.shape != new.shape:
+                raise ValueError(
+                    f"resume checkpoint {cfg.resume_path} does not match this "
+                    f"model: {jax.tree_util.keystr(kp)} is {new.shape}, "
+                    f"expected {old.shape}"
+                )
         params, opt_state = state["params"], state["opt_state"]
         start_step = int(state["step"]) + 1  # saved AFTER that step ran
+        resumed_best = float(state["best"])
         if mesh is not None:
             params = place(params, gru_param_specs(params), mesh)
             # adam state's mu/nu mirror the param tree — re-place them with
@@ -168,13 +184,15 @@ def train(
         from ggml_experiments_tpu.formats.checkpoint import CheckpointManager
 
         manager = CheckpointManager(cfg.checkpoint_path)
+        if resumed_best is not None:
+            # best-by-loss must survive the crash too, or the first resumed
+            # step would overwrite a better pre-crash checkpoint
+            manager.best = resumed_best
 
     from ggml_experiments_tpu.training.prefetch import prefetch_to_device
 
     eval_fn = None
     if cfg.eval_every and eval_seqs is not None:
-        import numpy as _np
-
         ev = jnp.asarray(_np.asarray(eval_seqs, _np.int32))
         ev_in, ev_tg = ev[:, :-1], ev[:, 1:]
 
@@ -204,7 +222,9 @@ def train(
 
             _ckpt.save(cfg.resume_path, {
                 "params": params, "opt_state": opt_state,
-                "step": _np.int64(i),
+                "step": _np.int32(i),
+                "best": _np.float32(manager.best if manager is not None
+                                    else _np.inf),
             })
         do_eval = eval_fn is not None and i % cfg.eval_every == 0
         if i % cfg.log_every == 0 or manager is not None or do_eval:

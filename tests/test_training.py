@@ -211,3 +211,26 @@ def test_exact_resume_matches_uninterrupted(tmp_path):
 
     for a, b in zip(jax.tree_util.tree_leaves(want), jax.tree_util.tree_leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_rejects_mismatched_checkpoint(tmp_path):
+    """A resume file from a different architecture fails with a clear
+    message, not a shape error deep inside jit."""
+    import jax
+    import pytest
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.training.gru_trainer import TrainConfig, train
+
+    rng = np.random.default_rng(0)
+    b = rng.integers(0, 66, (4, 10)).astype(np.int32)
+    batches = [(b, np.roll(b, -1, axis=1))]
+    ck = str(tmp_path / "resume.gxt")
+    small = gru_textgen.init_params(GRUConfig(vocab_size=66, embed_dim=8, units=16),
+                                    jax.random.PRNGKey(0))
+    train(small, batches, TrainConfig(log_every=1, resume_path=ck, save_every=1))
+    big = gru_textgen.init_params(GRUConfig(vocab_size=66, embed_dim=8, units=32),
+                                  jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="does not match this model"):
+        train(big, batches, TrainConfig(log_every=1, resume_path=ck, save_every=1))
