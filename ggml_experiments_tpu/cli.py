@@ -20,7 +20,9 @@ import time
 
 
 def _add_common(p):
-    p.add_argument("--qtype", choices=["q8_0", "q4_0"], default=None,
+    from ggml_experiments_tpu.quant.qtensor import QTYPES
+
+    p.add_argument("--qtype", choices=list(QTYPES), default=None,
                    help="block-quantize matmul weights on load")
     p.add_argument("--compute", choices=["float32", "bfloat16"], default="float32",
                    help="MXU compute precision (float32 = full passes)")

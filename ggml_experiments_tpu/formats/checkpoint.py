@@ -88,6 +88,10 @@ def save(path: str, tree: Any) -> None:
             meta = {"qtype": leaf.qtype, "logical_shape": list(leaf.shape)}
             add(name + ".codes", leaf.codes, {"quant": meta})
             add(name + ".scales", leaf.scales, {"quant": meta})
+            if leaf.mins is not None:
+                add(name + ".mins", leaf.mins, {"quant": meta})
+            if leaf.hibits is not None:
+                add(name + ".hibits", leaf.hibits, {"quant": meta})
         else:
             # (None never appears here: it is an empty pytree, not a leaf —
             # load_into templates re-supply structural Nones)
@@ -146,14 +150,20 @@ def load_arrays(path: str) -> Dict[str, Any]:
         if name.endswith(".codes") and name in meta:
             stem = name[: -len(".codes")]
             q = meta[name]
+            mins = raw.get(stem + ".mins")
+            hibits = raw.get(stem + ".hibits")
             out[stem] = QTensor(
                 codes=jnp.asarray(raw[stem + ".codes"]),
                 scales=jnp.asarray(raw[stem + ".scales"]),
                 shape=tuple(q["logical_shape"]),
                 qtype=q["qtype"],
+                mins=None if mins is None else jnp.asarray(mins),
+                hibits=None if hibits is None else jnp.asarray(hibits),
             )
-            done.add(stem + ".scales")
-        elif name.endswith(".scales") and name in meta:
+            done.update({stem + ".scales", stem + ".mins", stem + ".hibits"})
+        elif (
+            name.endswith((".scales", ".mins", ".hibits")) and name in meta
+        ):
             continue  # paired with .codes
         else:
             out[name] = arr if arr is None else jnp.asarray(arr)

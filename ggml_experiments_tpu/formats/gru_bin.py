@@ -93,7 +93,8 @@ def load_gru_params(
 ) -> GRUTextGenParams:
     """Load ``gru.bin`` into model params; optionally quantize the big kernels.
 
-    ``qtype`` in {None, "q8_0", "q4_0"}: the cell/recurrent/dense kernels are
+    ``qtype`` in {None} | QTYPES (q8_0/q4_0/q4_1/q5_0/q5_1): the
+    cell/recurrent/dense kernels are
     block-quantized (weight-only); embeddings and biases stay float32, like
     ggml quantized models keep small tensors in high precision.
     ``weights_dtype="bfloat16"`` stores *unquantized* kernels in bf16 (half

@@ -82,6 +82,8 @@ def qtensor_sharding(mesh: Mesh, qt: QTensor, spec: P) -> QTensor:
         scales=jax.device_put(qt.scales, ns),
         shape=qt.shape,
         qtype=qt.qtype,
+        mins=None if qt.mins is None else jax.device_put(qt.mins, ns),
+        hibits=None if qt.hibits is None else jax.device_put(qt.hibits, ns),
     )
 
 

@@ -7,7 +7,11 @@ from ggml_experiments_tpu.quant.qtensor import (
     from_numpy_blocks,
     quantization_error,
     quantize,
+    QTYPES,
+    QTYPE_BITS,
     to_numpy_blocks,
+    unpack_hibits,
+    unpack_nibbles,
     unpack_q4,
 )
 from ggml_experiments_tpu.quant.pallas_kernels import (
@@ -23,7 +27,11 @@ __all__ = [
     "from_numpy_blocks",
     "quantization_error",
     "quantize",
+    "QTYPES",
+    "QTYPE_BITS",
     "to_numpy_blocks",
+    "unpack_hibits",
+    "unpack_nibbles",
     "unpack_q4",
     "qmatmul",
     "qmatmul_reference",

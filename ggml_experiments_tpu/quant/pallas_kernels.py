@@ -28,7 +28,22 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ggml_experiments_tpu.quant.qtensor import BLOCK, QTensor, unpack_q4
+from ggml_experiments_tpu.quant.qtensor import (
+    BLOCK,
+    QTensor,
+    unpack_hibits,
+    unpack_nibbles,
+    unpack_q4,
+)
+
+# operand planes per format, in kernel argument order after x
+_PLANES = {
+    "q8_0": ("codes", "scales"),
+    "q4_0": ("codes", "scales"),
+    "q4_1": ("codes", "scales", "mins"),
+    "q5_0": ("codes", "hibits", "scales"),
+    "q5_1": ("codes", "hibits", "scales", "mins"),
+}
 
 # Flipped to True on CPU (tests / simulated meshes) where Mosaic can't compile.
 _INTERPRET = False
@@ -98,14 +113,81 @@ def _q4_kernel(x_ref, codes_ref, scales_ref, out_ref, *, compute_dtype):
     out_ref[:] += _dot(x_ref[:], w, compute_dtype)
 
 
+def _q4_1_kernel(x_ref, codes_ref, scales_ref, mins_ref, out_ref, *, compute_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half, tn = codes_ref.shape
+    tk = half * 2
+    q = unpack_nibbles(codes_ref[:])
+    w = (
+        q.reshape(tk // BLOCK, BLOCK, tn) * scales_ref[:][:, None, :]
+        + mins_ref[:][:, None, :]
+    ).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
+def _q5_0_kernel(x_ref, codes_ref, hibits_ref, scales_ref, out_ref, *, compute_dtype):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half, tn = codes_ref.shape
+    tk = half * 2
+    q = unpack_nibbles(codes_ref[:]) + 16.0 * unpack_hibits(hibits_ref[:]) - 16.0
+    w = (q.reshape(tk // BLOCK, BLOCK, tn) * scales_ref[:][:, None, :]).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
+def _q5_1_kernel(
+    x_ref, codes_ref, hibits_ref, scales_ref, mins_ref, out_ref, *, compute_dtype
+):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half, tn = codes_ref.shape
+    tk = half * 2
+    q = unpack_nibbles(codes_ref[:]) + 16.0 * unpack_hibits(hibits_ref[:])
+    w = (
+        q.reshape(tk // BLOCK, BLOCK, tn) * scales_ref[:][:, None, :]
+        + mins_ref[:][:, None, :]
+    ).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
+_KERNELS = {
+    "q8_0": _q8_kernel,
+    "q4_0": _q4_kernel,
+    "q4_1": _q4_1_kernel,
+    "q5_0": _q5_0_kernel,
+    "q5_1": _q5_1_kernel,
+}
+
+
+# K rows packed per codes row (nibble formats pack two)
+def _kdiv(qtype: str) -> int:
+    return 1 if qtype == "q8_0" else 2
+
+
+def _plane_spec(plane: str, qtype: str, tile_k: int, tile_n: int):
+    """BlockSpec K-row granularity for each quantization plane."""
+    rows = {
+        "codes": tile_k // _kdiv(qtype),
+        "hibits": tile_k // 8,
+        "scales": tile_k // BLOCK,
+        "mins": tile_k // BLOCK,
+    }[plane]
+    return pl.BlockSpec((rows, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
+
+
 @functools.partial(
     jax.jit, static_argnames=("qtype", "logical_n", "tile_m", "tile_n", "tile_k", "compute_dtype")
 )
 def _qmatmul_2d(
     x,
-    codes,
-    scales,
-    *,
+    *planes,
     qtype: str,
     logical_n: int,
     tile_m: int,
@@ -114,39 +196,29 @@ def _qmatmul_2d(
     compute_dtype,
 ):
     m, kp = x.shape
-    np_ = codes.shape[-1]
+    np_ = planes[0].shape[-1]
     grid = (pl.cdiv(m, tile_m), pl.cdiv(np_, tile_n), pl.cdiv(kp, tile_k))
-
-    kernel = _q8_kernel if qtype == "q8_0" else _q4_kernel
-    kdiv = 1 if qtype == "q8_0" else 2
 
     flops = 2 * m * kp * np_
     bytes_accessed = (
         x.size * x.dtype.itemsize
-        + codes.size * codes.dtype.itemsize
-        + scales.size * 4
+        + sum(p.size * p.dtype.itemsize for p in planes)
         + m * np_ * 4
     )
 
     out = pl.pallas_call(
-        functools.partial(kernel, compute_dtype=compute_dtype),
+        functools.partial(_KERNELS[qtype], compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (tile_k // kdiv, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (tile_k // BLOCK, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
-            ),
-        ],
+        ] + [_plane_spec(p, qtype, tile_k, tile_n) for p in _PLANES[qtype]],
         out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((_round_up(m, tile_m), np_), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=_default_interpret(),
-    )(x, codes, scales)
+    )(x, *planes)
     return out[:m, :logical_n]
 
 
@@ -154,8 +226,10 @@ def _pick_tiles(m, kp, np_, qtype):
     """VMEM-aware tile choice for the small/odd shapes of these workloads."""
     tile_m = min(_round_up(m, 8), 256)
     tile_n = min(np_, 512)
-    # keep codes tile under ~1 MB, K a multiple of 32 (whole scale blocks)
+    # keep codes(+hibits) tile under ~1 MB, K a multiple of 32 (whole blocks)
     bytes_per_k = tile_n * (1 if qtype == "q8_0" else 0.5)
+    if qtype in ("q5_0", "q5_1"):
+        bytes_per_k += tile_n * 0.125
     max_k = int((1 << 20) / max(bytes_per_k, 1))
     tile_k = min(kp, max(_round_up(min(max_k, kp), BLOCK), BLOCK))
     # tile_k must divide into grid steps of whole blocks; also x tile must fit
@@ -177,12 +251,14 @@ def _qmatmul_partitioned(qtype: str, compute_dtype):
     sharding module prefers pairing column-parallel QTensors with a
     row-parallel *float* partner, parallel/sharding.py)."""
 
-    def core(x2, codes, scales):
+    n_planes = len(_PLANES[qtype])
+
+    def core(x2, *planes):
         m, kp = x2.shape
-        np_ = codes.shape[-1]
+        np_ = planes[0].shape[-1]
         tile_m, tile_n, tile_k = _pick_tiles(m, kp, np_, qtype)
         return _qmatmul_2d(
-            x2, codes, scales, qtype=qtype, logical_n=np_,
+            x2, *planes, qtype=qtype, logical_n=np_,
             tile_m=tile_m, tile_n=tile_n, tile_k=tile_k,
             compute_dtype=compute_dtype,
         )
@@ -194,7 +270,9 @@ def _qmatmul_partitioned(qtype: str, compute_dtype):
 
     def _axes(arg_shapes):
         m_ax = _axis(arg_shapes[0].sharding, 0)
-        n_ax = _axis(arg_shapes[1].sharding, 1) or _axis(arg_shapes[2].sharding, 1)
+        n_ax = None
+        for s in arg_shapes[1:]:
+            n_ax = n_ax or _axis(s.sharding, 1)
         return m_ax, n_ax
 
     def infer(mesh, arg_shapes, result_shape):
@@ -207,21 +285,20 @@ def _qmatmul_partitioned(qtype: str, compute_dtype):
             mesh,
             core,
             NamedSharding(mesh, P(m_ax, n_ax)),
-            (
-                NamedSharding(mesh, P(m_ax, None)),
-                NamedSharding(mesh, P(None, n_ax)),
-                NamedSharding(mesh, P(None, n_ax)),
-            ),
+            (NamedSharding(mesh, P(m_ax, None)),)
+            + (NamedSharding(mesh, P(None, n_ax)),) * n_planes,
         )
 
     fn = custom_partitioning(core)
+    # every plane's K-rows are distinct factors (codes pack 2 K rows/row,
+    # hibits 8, scales/mins 32): all K-ish dims replicated, m/n free to shard
+    k_factors = tuple(f"k{i}" for i in range(n_planes + 1))
+    plane_terms = ", ".join(f"{k} n" for k in k_factors[1:])
     fn.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        # codes/scales K-rows are distinct factors (q4 packs 2 K per row):
-        # all K-ish dims replicated, m/n free to shard
-        sharding_rule="m k, j n, s n -> m n",
-        need_replication_factors=("k", "j", "s"),
+        sharding_rule=f"m {k_factors[0]}, {plane_terms} -> m n",
+        need_replication_factors=k_factors,
     )
     return fn
 
@@ -246,7 +323,8 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
     kp = qt.kp
     if kp != k:
         x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
-    out = _qmatmul_partitioned(qt.qtype, compute_dtype)(x2, qt.codes, qt.scales)
+    planes = tuple(getattr(qt, p) for p in _PLANES[qt.qtype])
+    out = _qmatmul_partitioned(qt.qtype, compute_dtype)(x2, *planes)
     if n != out.shape[-1]:
         out = out[:, :n]  # drop lane padding (kept through the sharded call)
     if compute_dtype != jnp.float32:
@@ -259,10 +337,21 @@ def dequant_in_graph(qt: QTensor) -> jax.Array:
     in-graph dequant implementation (QTensor.dequantize() is numpy-only);
     shared by the XLA fallback dot and the fused-transformer-layer weight
     prep so their numerics cannot drift apart."""
-    codes = unpack_q4(qt.codes) if qt.qtype == "q4_0" else qt.codes.astype(jnp.float32)
-    kp, np_ = codes.shape
-    w = (codes.reshape(kp // BLOCK, BLOCK, np_) * qt.scales[:, None, :]).reshape(kp, np_)
-    return w[: qt.k, : qt.n]
+    if qt.qtype == "q8_0":
+        q = qt.codes.astype(jnp.float32)
+    elif qt.qtype == "q4_0":
+        q = unpack_q4(qt.codes)
+    else:
+        q = unpack_nibbles(qt.codes)
+        if qt.hibits is not None:
+            q = q + 16.0 * unpack_hibits(qt.hibits)
+        if qt.qtype == "q5_0":
+            q = q - 16.0
+    kp, np_ = q.shape
+    w = q.reshape(kp // BLOCK, BLOCK, np_) * qt.scales[:, None, :]
+    if qt.mins is not None:
+        w = w + qt.mins[:, None, :]
+    return w.reshape(kp, np_)[: qt.k, : qt.n]
 
 
 def _xla_dequant_dot(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Array:

@@ -2,21 +2,36 @@
 
 TPU-native replacement for the block formats in ggml's ``ggml-quants.c``
 (linked by the reference build, /root/reference/mobilevit/Makefile:13-17).
-Semantics follow GGML's Q8_0 / Q4_0: blocks of 32 consecutive weights along
-the *reduction* dimension share one scale (weight-only, symmetric):
+Semantics follow GGML's classic 32-element block family: blocks of 32
+consecutive weights along the *reduction* dimension share one scale
+(weight-only):
 
 * **Q8_0**: ``d = absmax/127``, ``q = rint(x/d)`` stored int8, ``x ≈ q*d``.
 * **Q4_0**: signed max ``m`` (value of largest magnitude), ``d = m/-8``,
   ``q = clamp(rint(x/d) + 8, 0, 15)`` stored as packed nibbles,
   ``x ≈ (q-8)*d`` — ggml's sign-flip trick so the extremal weight is exact.
+* **Q4_1**: asymmetric, ``m = min``, ``d = (max-min)/15``,
+  ``q = clamp(rint((x-m)/d), 0, 15)``, ``x ≈ q*d + m`` — better on
+  one-sided distributions (biased/positive weights) at +1 f32 per block.
+* **Q5_0**: symmetric 5-bit, ``d = signed_absmax/-16``,
+  ``q = clamp(rint(x/d) + 16, 0, 31)``, ``x ≈ (q-16)*d``; the 5th bit
+  rides in a separate bit-plane.
+* **Q5_1**: asymmetric 5-bit, ``d = (max-min)/31``, ``x ≈ q*d + m``.
 
 Layout is TPU-first, not a copy of ggml's array-of-structs: a weight
 ``W[K, N]`` (in-features first, so ``y = x @ W``) is stored as
 
-* ``codes``:  int8 ``(Kp, Np)`` (Q8_0) or packed uint8 ``(Kp//2, Np)`` (Q4_0)
+* ``codes``:  int8 ``(Kp, Np)`` (Q8_0) or packed uint8 ``(Kp//2, Np)``
+  (all nibble formats: byte ``i`` of a 32-row block holds unpacked rows
+  ``(32b+i, 32b+16+i)`` as (low, high) nibbles — block-local, so the fused
+  kernel can tile K at whole-block granularity)
 * ``scales``: float32 ``(Kp//32, Np)``
+* ``mins``:   float32 ``(Kp//32, Np)`` — Q4_1/Q5_1 only (per-block offset)
+* ``hibits``: uint8 ``(Kp//8, Np)`` — Q5_0/Q5_1 only. Bit-plane of the 5th
+  bit, packed so unpacking is concat-only (no sublane shuffle): block-local
+  row ``t`` lives in byte ``t % 4`` at bit ``t // 4``.
 
-where ``Kp``/``Np`` are padded up to the TPU tile grid (K to the 32-element
+``Kp``/``Np`` are padded up to the TPU tile grid (K to the 32-element
 block, N to the 128-lane boundary) at quantize time so that the fused
 dequant+matmul Pallas kernel (quant/pallas_kernels.py) never re-pads at run
 time. The logical shape is kept as static aux data on the pytree.
@@ -25,7 +40,7 @@ time. The logical shape is kept as static aux data on the pytree.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,43 +49,63 @@ import numpy as np
 BLOCK = 32  # weights per scale block, along the reduction dim (ggml's QK8_0/QK4_0)
 LANE = 128  # TPU lane width; N is padded to this
 
+QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")  # supported block formats
+# bits per weight (codes + bit-plane), excluding per-block f32 scale/min rows
+QTYPE_BITS = {"q8_0": 8, "q4_0": 4, "q4_1": 4, "q5_0": 5, "q5_1": 5}
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _native_quantize(w: np.ndarray, qtype: str):
-    """Try the C++ codec (runtime/); returns (codes, scales) unpadded-N or None."""
+    """Try the C++ codec (runtime/). Returns unpadded-N planes as a
+    (codes, scales, mins, hibits) tuple (absent planes None) or None."""
     try:
         from ggml_experiments_tpu import runtime
     except Exception:  # pragma: no cover
         return None
     if qtype == "q8_0":
-        return runtime.quantize_q8_0(w)
+        r = runtime.quantize_q8_0(w)
+        return None if r is None else (r[0], r[1], None, None)
     if qtype == "q4_0":
-        return runtime.quantize_q4_0(w)
+        r = runtime.quantize_q4_0(w)
+        return None if r is None else (r[0], r[1], None, None)
+    if qtype == "q4_1":
+        r = runtime.quantize_q4_1(w)
+        return None if r is None else (r[0], r[1], r[2], None)
+    if qtype == "q5_0":
+        r = runtime.quantize_q5_0(w)
+        return None if r is None else (r[0], r[2], None, r[1])
+    if qtype == "q5_1":
+        r = runtime.quantize_q5_1(w)
+        return None if r is None else (r[0], r[2], r[3], r[1])
     return None
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QTensor:
-    """A block-quantized 2-D weight. Pytree: (codes, scales) leaves; static aux."""
+    """A block-quantized 2-D weight. Pytree: (codes, scales[, mins, hibits])
+    leaves; static aux."""
 
-    codes: jax.Array   # int8 (Kp, Np) for q8_0; uint8 (Kp//2, Np) packed for q4_0
+    codes: jax.Array   # int8 (Kp, Np) for q8_0; uint8 (Kp//2, Np) nibble-packed
     scales: jax.Array  # f32 (Kp//32, Np)
     shape: Tuple[int, int]  # logical (K, N)
-    qtype: str  # "q8_0" | "q4_0"
+    qtype: str  # one of QTYPES
+    mins: Optional[jax.Array] = None    # f32 (Kp//32, Np), q4_1/q5_1
+    hibits: Optional[jax.Array] = None  # uint8 (Kp//8, Np), q5_0/q5_1
 
     # -- pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return (self.codes, self.scales), (self.shape, self.qtype)
+        return (self.codes, self.scales, self.mins, self.hibits), (self.shape, self.qtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        codes, scales = children
+        codes, scales, mins, hibits = children
         shape, qtype = aux
-        return cls(codes=codes, scales=scales, shape=shape, qtype=qtype)
+        return cls(codes=codes, scales=scales, shape=shape, qtype=qtype,
+                   mins=mins, hibits=hibits)
 
     # -- convenience ----------------------------------------------------------
     @property
@@ -95,7 +130,12 @@ class QTensor:
 
     @property
     def nbytes(self) -> int:
-        return self.codes.size * self.codes.dtype.itemsize + self.scales.size * 4
+        n = self.codes.size * self.codes.dtype.itemsize + self.scales.size * 4
+        if self.mins is not None:
+            n += self.mins.size * 4
+        if self.hibits is not None:
+            n += self.hibits.size
+        return n
 
     def dequantize(self) -> jax.Array:
         """Reference dequantization to float32 ``(K, N)`` (pure jnp)."""
@@ -130,6 +170,46 @@ def _quantize_q4_0_arrays(w_blocks: np.ndarray):
     return q.astype(np.uint8), d
 
 
+def _quantize_q5_0_arrays(w_blocks: np.ndarray):
+    # ggml Q5_0: same sign-flip trick at 5 bits; d = signed_absmax / -16.
+    amax_idx = np.argmax(np.abs(w_blocks), axis=1)
+    m = np.take_along_axis(w_blocks, amax_idx[:, None, :], axis=1)[:, 0, :]
+    d = (m / -16.0).astype(np.float32)
+    inv = np.where(d != 0, 1.0 / np.where(d != 0, d, 1.0), 0.0)
+    q = np.clip(np.rint(w_blocks * inv[:, None, :]) + 16.0, 0.0, 31.0)
+    return q.astype(np.uint8), d
+
+
+def _quantize_offset_arrays(w_blocks: np.ndarray, levels: int):
+    # ggml Q4_1/Q5_1: asymmetric per-block affine, m = min, d = (max-min)/L.
+    mn = w_blocks.min(axis=1).astype(np.float32)           # (nb, Np)
+    mx = w_blocks.max(axis=1).astype(np.float32)
+    d = ((mx - mn) / levels).astype(np.float32)
+    inv = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    q = np.clip(np.rint((w_blocks - mn[:, None, :]) * inv[:, None, :]), 0.0, levels)
+    return q.astype(np.uint8), d, mn
+
+
+def _pack_nibbles(q3: np.ndarray) -> np.ndarray:
+    """(nb, 32, Np) values 0..15 -> block-local nibble-packed (Kp//2, Np)."""
+    nb, _, np_ = q3.shape
+    packed = q3[:, : BLOCK // 2] | (q3[:, BLOCK // 2 :] << 4)
+    return packed.reshape(nb * BLOCK // 2, np_).astype(np.uint8)
+
+
+def _pack_hibits(hi3: np.ndarray) -> np.ndarray:
+    """(nb, 32, Np) bits 0/1 -> bit-plane (Kp//8, Np).
+
+    Block-local row ``t`` -> byte ``t % 4``, bit ``t // 4``; chosen so the
+    unpack is 8 shift-mask copies concatenated in order (no row shuffle —
+    Mosaic-friendly; see unpack_hibits)."""
+    nb, _, np_ = hi3.shape
+    hb = np.zeros((nb, 4, np_), np.uint8)
+    for t in range(BLOCK):
+        hb[:, t % 4] |= (hi3[:, t].astype(np.uint8) << (t // 4))
+    return hb.reshape(nb * 4, np_)
+
+
 def quantize(w, qtype: str = "q8_0") -> QTensor:
     """Quantize a float ``(K, N)`` weight into a :class:`QTensor`.
 
@@ -147,44 +227,73 @@ def quantize(w, qtype: str = "q8_0") -> QTensor:
     # numpy below is the bit-identical reference implementation
     native = _native_quantize(w, qtype)
     if native is not None:
-        codes, d = native
+        codes, d, mins, hibits = native
         np_ = _round_up(n, LANE)
-        if np_ != n:  # lane-pad columns (scale 0 / q==0 ⇒ zero contribution)
+        if np_ != n:  # lane-pad columns (scale 0 / min 0 ⇒ zero contribution)
             d = np.pad(d, ((0, 0), (0, np_ - n)))
-            pad_val = 0 if qtype == "q8_0" else 0x88
+            pad_val = 0x88 if qtype == "q4_0" else 0
             codes = np.pad(codes, ((0, 0), (0, np_ - n)), constant_values=pad_val)
+            if mins is not None:
+                mins = np.pad(mins, ((0, 0), (0, np_ - n)))
+            if hibits is not None:
+                hibits = np.pad(hibits, ((0, 0), (0, np_ - n)))
         return QTensor(
-            codes=jnp.asarray(codes), scales=jnp.asarray(d), shape=(k, n), qtype=qtype
+            codes=jnp.asarray(codes), scales=jnp.asarray(d), shape=(k, n), qtype=qtype,
+            mins=None if mins is None else jnp.asarray(mins),
+            hibits=None if hibits is None else jnp.asarray(hibits),
         )
 
     w_blocks, kp, np_ = _blockify(w)
+    mins = hibits = None
     if qtype == "q8_0":
         q, d = _quantize_q8_0_arrays(w_blocks)
         codes = q.reshape(kp, np_)
     elif qtype == "q4_0":
-        q, d = _quantize_q4_0_arrays(w_blocks)
-        q = q.reshape(kp, np_)
         # pack within each 32-row block: byte i of block b holds rows
         # (32b+i, 32b+16+i) as (low, high) nibble. Unpacking is then a
         # block-local concat — no cross-tile dependency (the fused kernel can
         # tile K at any whole-block granularity) and no even/odd interleave
         # shuffle (which Mosaic's TPU lowering rejects).
-        q3 = q.reshape(kp // BLOCK, BLOCK, np_)
-        codes = (q3[:, : BLOCK // 2] | (q3[:, BLOCK // 2 :] << 4)).reshape(kp // 2, np_)
-        codes = codes.astype(np.uint8)
+        q, d = _quantize_q4_0_arrays(w_blocks)
+        codes = _pack_nibbles(q)
+    elif qtype == "q4_1":
+        q, d, mn = _quantize_offset_arrays(w_blocks, 15)
+        codes = _pack_nibbles(q)
+        mins = mn
+    elif qtype == "q5_0":
+        q, d = _quantize_q5_0_arrays(w_blocks)
+        codes = _pack_nibbles(q & 0xF)
+        hibits = _pack_hibits(q >> 4)
+    elif qtype == "q5_1":
+        q, d, mn = _quantize_offset_arrays(w_blocks, 31)
+        codes = _pack_nibbles(q & 0xF)
+        hibits = _pack_hibits(q >> 4)
+        mins = mn
     else:
-        raise ValueError(f"unknown qtype {qtype!r} (expected 'q8_0' or 'q4_0')")
-    return QTensor(codes=jnp.asarray(codes), scales=jnp.asarray(d), shape=(k, n), qtype=qtype)
+        raise ValueError(f"unknown qtype {qtype!r} (expected one of {QTYPES})")
+    return QTensor(
+        codes=jnp.asarray(codes), scales=jnp.asarray(d), shape=(k, n), qtype=qtype,
+        mins=None if mins is None else jnp.asarray(mins),
+        hibits=None if hibits is None else jnp.asarray(hibits),
+    )
 
 
-def unpack_q4(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Unpack uint8 nibble-packed (Kp//2, Np) -> (Kp, Np) values in [-8, 7].
+def unpack_nibbles(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Unpack uint8 nibble-packed (Kp//2, Np) -> (Kp, Np) values in [0, 15].
 
     Inverse of the block-local packing in :func:`quantize`: packed byte i of
     block b holds unpacked rows (32b+i, 32b+16+i) as (low, high) nibbles.
-    Arithmetic runs in ``dtype`` (float by default): Mosaic's TPU lowering
-    has no int8 subtract.
+    Arithmetic runs via int32 (Mosaic has no uint8->f32 cast / int8 subtract).
     """
+    half, np_ = codes.shape
+    c3 = codes.reshape((2 * half) // BLOCK, BLOCK // 2, np_).astype(jnp.int32)
+    lo = c3 & 0xF
+    hi = c3 >> 4
+    return jnp.concatenate([lo, hi], axis=1).reshape(2 * half, np_).astype(dtype)
+
+
+def unpack_q4(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Unpack q4_0/q4_1-packed codes -> (Kp, Np) values in [-8, 7]."""
     half, np_ = codes.shape
     nb = (2 * half) // BLOCK
     # widen to int32 first: Mosaic has no uint8->f32 cast and no int8 subtract
@@ -194,28 +303,66 @@ def unpack_q4(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=1).reshape(2 * half, np_).astype(dtype)
 
 
-def _unpack_q4_np(codes: np.ndarray) -> np.ndarray:
+def unpack_hibits(hibits: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Unpack the q5 bit-plane (Kp//8, Np) -> (Kp, Np) values in {0, 1}.
+
+    Inverse of :func:`_pack_hibits`: block-local row ``t`` is byte ``t % 4``
+    bit ``t // 4``, so part ``i`` of the concat below lands rows ``4i..4i+3``
+    — pure shift/mask + concat, no sublane shuffle.
+    """
+    rows, np_ = hibits.shape
+    nb = rows // 4
+    b = hibits.reshape(nb, 4, np_).astype(jnp.int32)
+    parts = [(b >> i) & 1 for i in range(8)]
+    return jnp.concatenate(parts, axis=1).reshape(rows * 8, np_).astype(dtype)
+
+
+def _unpack_nibbles_np(codes: np.ndarray) -> np.ndarray:
     half, np_ = codes.shape
-    nb = (2 * half) // BLOCK
-    c3 = codes.reshape(nb, BLOCK // 2, np_)
-    lo = (c3 & 0xF).astype(np.float32) - 8
-    hi = (c3 >> 4).astype(np.float32) - 8
+    c3 = codes.reshape((2 * half) // BLOCK, BLOCK // 2, np_)
+    lo = (c3 & 0xF).astype(np.float32)
+    hi = (c3 >> 4).astype(np.float32)
     return np.concatenate([lo, hi], axis=1).reshape(2 * half, np_)
+
+
+def _unpack_q4_np(codes: np.ndarray) -> np.ndarray:
+    return _unpack_nibbles_np(codes) - 8.0
+
+
+def _unpack_hibits_np(hibits: np.ndarray) -> np.ndarray:
+    rows, np_ = hibits.shape
+    b = hibits.reshape(rows // 4, 4, np_)
+    parts = [((b >> i) & 1).astype(np.float32) for i in range(8)]
+    return np.concatenate(parts, axis=1).reshape(rows * 8, np_)
+
+
+def _codes_to_q_np(qt: QTensor) -> np.ndarray:
+    """Decode stored planes to the integer q grid (numpy, fp values)."""
+    codes = np.asarray(qt.codes)
+    if qt.qtype == "q8_0":
+        return codes.astype(np.float32)
+    q = _unpack_nibbles_np(codes)
+    if qt.qtype in ("q5_0", "q5_1"):
+        q = q + 16.0 * _unpack_hibits_np(np.asarray(qt.hibits))
+    return q
 
 
 def dequantize(qt: QTensor) -> jax.Array:
     """Host-side (numpy) dequantization — the semantic reference the Pallas
     kernel must match. Load/convert-time only; never runs on device."""
-    codes = np.asarray(qt.codes)
-    scales = np.asarray(qt.scales)
-    if qt.qtype == "q8_0":
-        q = codes.astype(np.float32)
-    elif qt.qtype == "q4_0":
-        q = _unpack_q4_np(codes)
-    else:
+    if qt.qtype not in QTYPES:
         raise ValueError(qt.qtype)
+    q = _codes_to_q_np(qt)
+    if qt.qtype == "q4_0":
+        q -= 8.0
+    elif qt.qtype == "q5_0":
+        q -= 16.0
+    scales = np.asarray(qt.scales)
     kp, np_ = q.shape
-    w = (q.reshape(kp // BLOCK, BLOCK, np_) * scales[:, None, :]).reshape(kp, np_)
+    w = (q.reshape(kp // BLOCK, BLOCK, np_) * scales[:, None, :])
+    if qt.mins is not None:
+        w = w + np.asarray(qt.mins)[:, None, :]
+    w = w.reshape(kp, np_)
     k, n = qt.shape
     return jnp.asarray(w[:k, :n])
 
@@ -227,9 +374,12 @@ def quantization_error(w, qtype: str = "q8_0") -> float:
 
 
 def to_numpy_blocks(qt: QTensor):
-    """Export logical-region (codes, scales) as numpy, unpadded along N/K.
+    """Export logical-region planes as numpy, unpadded along N/K.
 
-    Used by the format writers (formats/) which store the logical tensor.
+    Returns ``(codes, scales)`` for q8_0/q4_0 (back-compat) and
+    ``(codes, scales, mins, hibits)`` for the extended formats (absent
+    planes are None). Used by the format writers (formats/) which store the
+    logical tensor.
     """
     k, n = qt.shape
     nb = (k + BLOCK - 1) // BLOCK
@@ -238,10 +388,14 @@ def to_numpy_blocks(qt: QTensor):
         codes = np.asarray(qt.codes)[: nb * BLOCK, :n]
     else:
         codes = np.asarray(qt.codes)[: (nb * BLOCK) // 2, :n]
-    return codes, scales
+    if qt.qtype in ("q8_0", "q4_0"):
+        return codes, scales
+    mins = None if qt.mins is None else np.asarray(qt.mins)[:nb, :n]
+    hibits = None if qt.hibits is None else np.asarray(qt.hibits)[: nb * 4, :n]
+    return codes, scales, mins, hibits
 
 
-def from_numpy_blocks(codes, scales, shape, qtype: str) -> QTensor:
+def from_numpy_blocks(codes, scales, shape, qtype: str, mins=None, hibits=None) -> QTensor:
     """Rebuild a padded QTensor from logical-region blocks (inverse of above)."""
     k, n = shape
     kp, np_ = _round_up(k, BLOCK), _round_up(n, LANE)
@@ -251,12 +405,25 @@ def from_numpy_blocks(codes, scales, shape, qtype: str) -> QTensor:
     if qtype == "q8_0":
         codes_p = np.zeros((kp, np_), np.int8)
         codes_p[: codes.shape[0], :n] = codes
-    else:
+    elif qtype == "q4_0":
         codes_p = np.zeros((kp // 2, np_), np.uint8)
         # padded-N nibbles of 0 decode to -8; zero their scale instead (done above)
         codes_p[: codes.shape[0], :n] = codes
         codes_p[codes.shape[0]:, :] = 0x88  # (0|8)<<4|(0|8): decodes to q=8-8=0
         codes_p[:, n:] = 0x88
+    else:
+        # q4_1/q5_x pad regions decode to exactly 0 with zero scale/min/bits
+        codes_p = np.zeros((kp // 2, np_), np.uint8)
+        codes_p[: codes.shape[0], :n] = codes
+    mins_p = hibits_p = None
+    if qtype in ("q4_1", "q5_1"):
+        mins_p = np.zeros((nb, np_), np.float32)
+        mins_p[: mins.shape[0], :n] = mins
+    if qtype in ("q5_0", "q5_1"):
+        hibits_p = np.zeros((nb * 4, np_), np.uint8)
+        hibits_p[: hibits.shape[0], :n] = hibits
     return QTensor(
-        codes=jnp.asarray(codes_p), scales=jnp.asarray(scales_p), shape=(k, n), qtype=qtype
+        codes=jnp.asarray(codes_p), scales=jnp.asarray(scales_p), shape=(k, n), qtype=qtype,
+        mins=None if mins_p is None else jnp.asarray(mins_p),
+        hibits=None if hibits_p is None else jnp.asarray(hibits_p),
     )

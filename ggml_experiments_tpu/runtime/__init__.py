@@ -20,6 +20,7 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO = os.path.join(_DIR, "libgxt.so")
+_ABI = 2  # 2: +q4_1/q5_0/q5_1 codecs
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -54,8 +55,16 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is None:
             lib = ctypes.CDLL(_SO)
             lib.gxt_abi_version.restype = ctypes.c_int
-            if lib.gxt_abi_version() != 1:
-                raise RuntimeError("libgxt ABI mismatch — run make clean && rebuild")
+            if lib.gxt_abi_version() != _ABI:
+                del lib  # stale build from an older checkout: rebuild in place
+                subprocess.run(["make", "-C", _DIR, "-s", "clean"],
+                               check=False, capture_output=True, timeout=60)
+                if not build_native(force=True):
+                    raise RuntimeError("libgxt ABI mismatch and rebuild failed")
+                lib = ctypes.CDLL(_SO)
+                lib.gxt_abi_version.restype = ctypes.c_int
+                if lib.gxt_abi_version() != _ABI:
+                    raise RuntimeError("libgxt ABI mismatch — run make clean && rebuild")
             _lib = lib
     return _lib
 
@@ -105,7 +114,64 @@ def quantize_q4_0(w: np.ndarray) -> Optional[Tuple[np.ndarray, np.ndarray]]:
     return codes, scales
 
 
-def dequantize(codes: np.ndarray, scales: np.ndarray, qtype: str) -> Optional[np.ndarray]:
+def quantize_q4_1(w: np.ndarray):
+    """Native Q4_1: (codes u8 (Kp/2, N), scales f32, mins f32) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w, np.float32)
+    k, n = w.shape
+    kp = (k + 31) // 32 * 32
+    codes = np.empty((kp // 2, n), np.uint8)
+    scales = np.empty((kp // 32, n), np.float32)
+    mins = np.empty((kp // 32, n), np.float32)
+    rc = lib.q4_1_quantize(_ptr(w), ctypes.c_int64(k), ctypes.c_int64(n),
+                           _ptr(codes), _ptr(scales), _ptr(mins))
+    if rc != 0:
+        raise RuntimeError(f"q4_1_quantize failed rc={rc}")
+    return codes, scales, mins
+
+
+def quantize_q5_0(w: np.ndarray):
+    """Native Q5_0: (codes u8 (Kp/2, N), hibits u8 (Kp/8, N), scales) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w, np.float32)
+    k, n = w.shape
+    kp = (k + 31) // 32 * 32
+    codes = np.empty((kp // 2, n), np.uint8)
+    hibits = np.empty((kp // 8, n), np.uint8)
+    scales = np.empty((kp // 32, n), np.float32)
+    rc = lib.q5_0_quantize(_ptr(w), ctypes.c_int64(k), ctypes.c_int64(n),
+                           _ptr(codes), _ptr(hibits), _ptr(scales))
+    if rc != 0:
+        raise RuntimeError(f"q5_0_quantize failed rc={rc}")
+    return codes, hibits, scales
+
+
+def quantize_q5_1(w: np.ndarray):
+    """Native Q5_1: (codes, hibits, scales, mins) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w, np.float32)
+    k, n = w.shape
+    kp = (k + 31) // 32 * 32
+    codes = np.empty((kp // 2, n), np.uint8)
+    hibits = np.empty((kp // 8, n), np.uint8)
+    scales = np.empty((kp // 32, n), np.float32)
+    mins = np.empty((kp // 32, n), np.float32)
+    rc = lib.q5_1_quantize(_ptr(w), ctypes.c_int64(k), ctypes.c_int64(n),
+                           _ptr(codes), _ptr(hibits), _ptr(scales), _ptr(mins))
+    if rc != 0:
+        raise RuntimeError(f"q5_1_quantize failed rc={rc}")
+    return codes, hibits, scales, mins
+
+
+def dequantize(codes: np.ndarray, scales: np.ndarray, qtype: str,
+               mins: Optional[np.ndarray] = None,
+               hibits: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
@@ -122,6 +188,28 @@ def dequantize(codes: np.ndarray, scales: np.ndarray, qtype: str) -> Optional[np
         kp = codes.shape[0] * 2
         out = np.empty((kp, n), np.float32)
         rc = lib.q4_0_dequantize(_ptr(codes), _ptr(scales),
+                                 ctypes.c_int64(kp), ctypes.c_int64(n), _ptr(out))
+    elif qtype == "q4_1":
+        codes = np.ascontiguousarray(codes, np.uint8)
+        mins = np.ascontiguousarray(mins, np.float32)
+        kp = codes.shape[0] * 2
+        out = np.empty((kp, n), np.float32)
+        rc = lib.q4_1_dequantize(_ptr(codes), _ptr(scales), _ptr(mins),
+                                 ctypes.c_int64(kp), ctypes.c_int64(n), _ptr(out))
+    elif qtype == "q5_0":
+        codes = np.ascontiguousarray(codes, np.uint8)
+        hibits = np.ascontiguousarray(hibits, np.uint8)
+        kp = codes.shape[0] * 2
+        out = np.empty((kp, n), np.float32)
+        rc = lib.q5_0_dequantize(_ptr(codes), _ptr(hibits), _ptr(scales),
+                                 ctypes.c_int64(kp), ctypes.c_int64(n), _ptr(out))
+    elif qtype == "q5_1":
+        codes = np.ascontiguousarray(codes, np.uint8)
+        hibits = np.ascontiguousarray(hibits, np.uint8)
+        mins = np.ascontiguousarray(mins, np.float32)
+        kp = codes.shape[0] * 2
+        out = np.empty((kp, n), np.float32)
+        rc = lib.q5_1_dequantize(_ptr(codes), _ptr(hibits), _ptr(scales), _ptr(mins),
                                  ctypes.c_int64(kp), ctypes.c_int64(n), _ptr(out))
     else:
         raise ValueError(qtype)

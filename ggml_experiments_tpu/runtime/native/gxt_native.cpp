@@ -107,6 +107,131 @@ int q4_0_quantize(const float* w, int64_t k, int64_t n,
     return GXT_OK;
 }
 
+// Q4_1 (asymmetric): m = block min, d = (max-min)/15, q = rint((v-m)/d) in
+// [0,15], v ≈ q*d + m. Same nibble packing as Q4_0; extra mins f32[Kp/32, N].
+int q4_1_quantize(const float* w, int64_t k, int64_t n,
+                  uint8_t* codes, float* scales, float* mins) {
+    if (!w || !codes || !scales || !mins || k <= 0 || n <= 0) return GXT_ERR_ARG;
+    const int64_t kp = (k + 31) / 32 * 32;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t k0 = b * 32;
+            float mn = 0.0f, mx = 0.0f;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                if (i == k0) { mn = v; mx = v; }
+                if (v < mn) mn = v;
+                if (v > mx) mx = v;
+            }
+            const float d = (mx - mn) / 15.0f;
+            const float inv = d > 0.0f ? 1.0f / d : 0.0f;
+            scales[b * n + j] = d;
+            mins[b * n + j] = mn;
+            uint8_t q[32];
+            for (int64_t i = 0; i < 32; i++) {
+                const int64_t src = k0 + i;
+                const float v = src < k ? w[src * n + j] : 0.0f;
+                float qq = rintf((v - mn) * inv);
+                if (qq > 15.0f) qq = 15.0f;
+                if (qq < 0.0f) qq = 0.0f;
+                q[i] = (uint8_t)qq;
+            }
+            for (int64_t i = 0; i < 16; i++) {
+                codes[(b * 16 + i) * n + j] = (uint8_t)(q[i] | (q[i + 16] << 4));
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+// Shared 5-bit emit: pack low nibbles block-locally like Q4, and the 5th bit
+// into a bit-plane uint8[Kp/8, N] where block-local row t -> byte t%4, bit
+// t/4 (concat-only unpack on TPU; quant/qtensor.py _pack_hibits).
+static void emit_q5(const uint8_t* q, int64_t b, int64_t j, int64_t n,
+                    uint8_t* codes, uint8_t* hibits) {
+    uint8_t lo[32], hb[4] = {0, 0, 0, 0};
+    for (int64_t t = 0; t < 32; t++) {
+        lo[t] = q[t] & 0xF;
+        hb[t % 4] |= (uint8_t)((q[t] >> 4) << (t / 4));
+    }
+    for (int64_t i = 0; i < 16; i++) {
+        codes[(b * 16 + i) * n + j] = (uint8_t)(lo[i] | (lo[i + 16] << 4));
+    }
+    for (int64_t r = 0; r < 4; r++) hibits[(b * 4 + r) * n + j] = hb[r];
+}
+
+// Q5_0: ggml's signed-max trick at 5 bits (d = m/-16, q = rint(v/d)+16).
+int q5_0_quantize(const float* w, int64_t k, int64_t n,
+                  uint8_t* codes, uint8_t* hibits, float* scales) {
+    if (!w || !codes || !hibits || !scales || k <= 0 || n <= 0) return GXT_ERR_ARG;
+    const int64_t kp = (k + 31) / 32 * 32;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t k0 = b * 32;
+            float m = 0.0f, amax = 0.0f;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                const float a = fabsf(v);
+                if (a > amax) { amax = a; m = v; }
+            }
+            const float d = m / -16.0f;
+            const float inv = d != 0.0f ? 1.0f / d : 0.0f;
+            scales[b * n + j] = d;
+            uint8_t q[32];
+            for (int64_t i = 0; i < 32; i++) {
+                const int64_t src = k0 + i;
+                const float v = src < k ? w[src * n + j] : 0.0f;
+                float qq = rintf(v * inv) + 16.0f;
+                if (qq > 31.0f) qq = 31.0f;
+                if (qq < 0.0f) qq = 0.0f;
+                q[i] = (uint8_t)qq;
+            }
+            emit_q5(q, b, j, n, codes, hibits);
+        }
+    }
+    return GXT_OK;
+}
+
+// Q5_1: asymmetric 5-bit (m = min, d = (max-min)/31, v ≈ q*d + m).
+int q5_1_quantize(const float* w, int64_t k, int64_t n,
+                  uint8_t* codes, uint8_t* hibits, float* scales, float* mins) {
+    if (!w || !codes || !hibits || !scales || !mins || k <= 0 || n <= 0) return GXT_ERR_ARG;
+    const int64_t kp = (k + 31) / 32 * 32;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for collapse(2) schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        for (int64_t j = 0; j < n; j++) {
+            const int64_t k0 = b * 32;
+            float mn = 0.0f, mx = 0.0f;
+            for (int64_t i = k0; i < k0 + 32; i++) {
+                const float v = i < k ? w[i * n + j] : 0.0f;
+                if (i == k0) { mn = v; mx = v; }
+                if (v < mn) mn = v;
+                if (v > mx) mx = v;
+            }
+            const float d = (mx - mn) / 31.0f;
+            const float inv = d > 0.0f ? 1.0f / d : 0.0f;
+            scales[b * n + j] = d;
+            mins[b * n + j] = mn;
+            uint8_t q[32];
+            for (int64_t i = 0; i < 32; i++) {
+                const int64_t src = k0 + i;
+                const float v = src < k ? w[src * n + j] : 0.0f;
+                float qq = rintf((v - mn) * inv);
+                if (qq > 31.0f) qq = 31.0f;
+                if (qq < 0.0f) qq = 0.0f;
+                q[i] = (uint8_t)qq;
+            }
+            emit_q5(q, b, j, n, codes, hibits);
+        }
+    }
+    return GXT_OK;
+}
+
 int q8_0_dequantize(const int8_t* codes, const float* scales,
                     int64_t kp, int64_t n, float* out) {
     if (!codes || !scales || !out || kp <= 0 || n <= 0 || kp % 32) return GXT_ERR_ARG;
@@ -134,6 +259,73 @@ int q4_0_dequantize(const uint8_t* codes, const float* scales,
             for (int64_t j = 0; j < n; j++) {
                 lo[j] = (float)((int)(crow[j] & 0xF) - 8) * srow[j];
                 hi[j] = (float)((int)(crow[j] >> 4) - 8) * srow[j];
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+int q4_1_dequantize(const uint8_t* codes, const float* scales, const float* mins,
+                    int64_t kp, int64_t n, float* out) {
+    if (!codes || !scales || !mins || !out || kp <= 0 || n <= 0 || kp % 32) return GXT_ERR_ARG;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const float* srow = scales + b * n;
+        const float* mrow = mins + b * n;
+        for (int64_t i = 0; i < 16; i++) {
+            const uint8_t* crow = codes + (b * 16 + i) * n;
+            float* lo = out + (b * 32 + i) * n;
+            float* hi = out + (b * 32 + 16 + i) * n;
+            for (int64_t j = 0; j < n; j++) {
+                lo[j] = (float)(crow[j] & 0xF) * srow[j] + mrow[j];
+                hi[j] = (float)(crow[j] >> 4) * srow[j] + mrow[j];
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+// Shared q5 decode of block-local row t (0..31) for one column.
+static inline int q5_value(const uint8_t* codes, const uint8_t* hibits,
+                           int64_t b, int64_t t, int64_t j, int64_t n) {
+    const uint8_t byte = codes[(b * 16 + (t % 16)) * n + j];
+    const int lo = (t < 16) ? (byte & 0xF) : (byte >> 4);
+    const int hb = (hibits[(b * 4 + (t % 4)) * n + j] >> (t / 4)) & 1;
+    return lo | (hb << 4);
+}
+
+int q5_0_dequantize(const uint8_t* codes, const uint8_t* hibits, const float* scales,
+                    int64_t kp, int64_t n, float* out) {
+    if (!codes || !hibits || !scales || !out || kp <= 0 || n <= 0 || kp % 32) return GXT_ERR_ARG;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const float* srow = scales + b * n;
+        for (int64_t t = 0; t < 32; t++) {
+            float* orow = out + (b * 32 + t) * n;
+            for (int64_t j = 0; j < n; j++) {
+                orow[j] = (float)(q5_value(codes, hibits, b, t, j, n) - 16) * srow[j];
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+int q5_1_dequantize(const uint8_t* codes, const uint8_t* hibits,
+                    const float* scales, const float* mins,
+                    int64_t kp, int64_t n, float* out) {
+    if (!codes || !hibits || !scales || !mins || !out || kp <= 0 || n <= 0 || kp % 32)
+        return GXT_ERR_ARG;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const float* srow = scales + b * n;
+        const float* mrow = mins + b * n;
+        for (int64_t t = 0; t < 32; t++) {
+            float* orow = out + (b * 32 + t) * n;
+            for (int64_t j = 0; j < n; j++) {
+                orow[j] = (float)q5_value(codes, hibits, b, t, j, n) * srow[j] + mrow[j];
             }
         }
     }
@@ -358,6 +550,6 @@ int png_unfilter(const uint8_t* raw, int64_t h, int64_t stride, int64_t bpp,
     return GXT_OK;
 }
 
-int gxt_abi_version(void) { return 1; }
+int gxt_abi_version(void) { return 2; }  // 2: +q4_1/q5_0/q5_1 codecs
 
 }  // extern "C"

@@ -77,7 +77,11 @@ def qmatmul_roofline(
     m: int, k: int, n: int, seconds: float, *, qtype: str = "q8_0", chip: ChipSpec = TPU_V5E
 ) -> RooflineReport:
     """Roofline for one fused dequant+matmul: weights move compressed."""
-    wbytes = k * n * (1 if qtype == "q8_0" else 0.5) + (k // 32) * n * 4
+    from ggml_experiments_tpu.quant.qtensor import QTYPE_BITS
+
+    wbytes = k * n * QTYPE_BITS[qtype] / 8 + (k // 32) * n * 4
+    if qtype in ("q4_1", "q5_1"):
+        wbytes += (k // 32) * n * 4  # per-block min plane
     bytes_ = m * k * 4 + wbytes + m * n * 4
     return RooflineReport(flops=2.0 * m * k * n, bytes=bytes_, seconds=seconds, chip=chip)
 
@@ -88,8 +92,10 @@ def gru_decode_roofline(
 ) -> RooflineReport:
     """Per-step roofline of projected decode (recurrent matmul + vocab head;
     the input projection is a table gather)."""
+    from ggml_experiments_tpu.quant.qtensor import QTYPE_BITS
+
     flops = 2.0 * batch * (units * 3 * units + units * vocab)
-    wbytes = (units * 3 * units + units * vocab) * (1 if qtype == "q8_0" else 0.5)
+    wbytes = (units * 3 * units + units * vocab) * QTYPE_BITS[qtype] / 8
     bytes_ = flops / 2 * 0 + wbytes + batch * units * 4 * 2
     return RooflineReport(flops=flops, bytes=bytes_, seconds=seconds_per_step, chip=chip)
 

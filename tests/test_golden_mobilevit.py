@@ -69,7 +69,7 @@ def test_features_f16_conv_policy_close(tensors, golden):
     np.testing.assert_allclose(feats16, want, rtol=0.05, atol=0.05)
 
 
-@pytest.mark.parametrize("qtype", ["q8_0", "q4_0"])
+@pytest.mark.parametrize("qtype", ["q8_0", "q4_0", "q4_1", "q5_0", "q5_1"])
 def test_quantized_features_within_delta(tensors, golden, qtype):
     params = from_named_tensors(tensors, TINY, qtype=qtype)
     img = jnp.asarray(golden["image"])[None]
@@ -78,13 +78,15 @@ def test_quantized_features_within_delta(tensors, golden, qtype):
     if qtype == "q8_0":
         assert np.abs(feats - want).max() < 0.02 * np.abs(want).max()
     else:
-        # Q4_0 carries ~8% relative error per matmul (absmax/8 step); this
-        # random-init fixture stacks 54 quantized matmuls with nothing
-        # trained to dominate the noise, so bound the compounded normalized
-        # RMSE loosely here — the production Δ contract (top-1 vs FP32 on a
+        # 4/5-bit formats carry %-level error per matmul; this random-init
+        # fixture stacks 54 quantized matmuls with nothing trained to
+        # dominate the noise, so bound the compounded normalized RMSE
+        # loosely here (measured: q4_0 ~0.6, q4_1 0.72, q5_0 0.31,
+        # q5_1 0.21) — the production Δ contract (top-1 vs FP32 on a
         # trained model) is measured by eval/bench, not this unit fixture.
         rel = np.linalg.norm(feats - want) / np.linalg.norm(want)
-        assert rel < 0.75, rel
+        bound = {"q4_0": 0.75, "q4_1": 0.85, "q5_0": 0.45, "q5_1": 0.35}[qtype]
+        assert rel < bound, rel
 
 
 def test_loader_missing_weight_error(tensors):

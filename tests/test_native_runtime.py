@@ -47,6 +47,53 @@ def test_native_dequant_roundtrip(rng, qtype):
     np.testing.assert_allclose(wd[:96], want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+@pytest.mark.parametrize("shape", [(64, 128), (100, 30), (256, 144)])
+def test_native_extended_matches_numpy(rng, qtype, shape):
+    """New-format codecs vs the EXPLICIT numpy implementation (not via
+    quant.quantize, which would itself take the native path)."""
+    from ggml_experiments_tpu.quant.qtensor import (
+        _blockify, _pack_hibits, _pack_nibbles,
+        _quantize_offset_arrays, _quantize_q5_0_arrays,
+    )
+
+    w = rng.standard_normal(shape).astype(np.float32) + 0.4
+    wb, kp, np_ = _blockify(w)
+    wb = wb[..., : shape[1]]  # native codecs return unpadded-N planes
+    if qtype == "q4_1":
+        got = runtime.quantize_q4_1(w)
+        q, d, mn = _quantize_offset_arrays(wb, 15)
+        want = (_pack_nibbles(q), d, mn)
+    elif qtype == "q5_0":
+        got = runtime.quantize_q5_0(w)
+        q, d = _quantize_q5_0_arrays(wb)
+        want = (_pack_nibbles(q & 0xF), _pack_hibits(q >> 4), d)
+    else:
+        got = runtime.quantize_q5_1(w)
+        q, d, mn = _quantize_offset_arrays(wb, 31)
+        want = (_pack_nibbles(q & 0xF), _pack_hibits(q >> 4), d, mn)
+    assert len(got) == len(want)
+    for g, x in zip(got, want):
+        np.testing.assert_array_equal(g, x)
+
+
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+def test_native_extended_dequant_roundtrip(rng, qtype):
+    w = rng.standard_normal((96, 128)).astype(np.float32)
+    mins = hibits = None
+    if qtype == "q4_1":
+        codes, scales, mins = runtime.quantize_q4_1(w)
+    elif qtype == "q5_0":
+        codes, hibits, scales = runtime.quantize_q5_0(w)
+    else:
+        codes, hibits, scales, mins = runtime.quantize_q5_1(w)
+    wd = runtime.dequantize(codes, scales, qtype, mins=mins, hibits=hibits)
+    want = np.asarray(quant.dequantize(quant.quantize(w, qtype)))
+    # atol one bf16-ULP above zero: -O3 contracts q*d + m to an FMA, which
+    # differs from numpy's separate mul+add by 1 f32 ULP on ~0.02% of values
+    np.testing.assert_allclose(wd[:96], want, rtol=1e-5, atol=5e-7)
+
+
 def test_native_named_parser_matches_python():
     path = os.path.join(GOLD, "mobilevit_tiny.ggml")
     ours = runtime.read_named_tensors_native(path)

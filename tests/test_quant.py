@@ -105,16 +105,112 @@ def test_quantization_error_scale(rng):
     assert e8 < 0.05 and e4 < 0.6
 
 
+# --- extended ggml-quants family: q4_1 (scale+min), q5_0, q5_1 ---------------
+
+
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+@pytest.mark.parametrize("shape", [(64, 128), (256, 3072), (1024, 66), (100, 30)])
+def test_extended_roundtrip_error(rng, qtype, shape):
+    w = _rand(rng, *shape) + 0.5  # shifted: the asymmetric formats' home turf
+    qt = quant.quantize(w, qtype)
+    wd = np.asarray(quant.dequantize(qt))
+    blk = quant.BLOCK
+    k, n = shape
+    kp = ((k + blk - 1) // blk) * blk
+    wp = np.zeros((kp, n), np.float32)
+    wp[:k] = w
+    wb = wp.reshape(kp // blk, blk, n)
+    if qtype == "q5_0":
+        bound = np.abs(wb).max(axis=1) / 16.0  # clipped extremal, one step
+    else:
+        levels = 15 if qtype == "q4_1" else 31
+        bound = (wb.max(axis=1) - wb.min(axis=1)) / levels * 0.5
+    err_blocks = np.abs(wp - np.pad(wd, ((0, kp - k), (0, 0)))).reshape(kp // blk, blk, n)
+    assert np.all(err_blocks.max(axis=1) <= bound + 1e-5)
+
+
+def test_extended_error_ordering(rng):
+    """More bits / per-block min must pay off: q5_1 < q5_0 < q4_0 and
+    q4_1 < q4_0 max error on a shifted (one-sided) weight distribution."""
+    w = np.abs(_rand(rng, 256, 128)) + 0.1
+    e = {q: quant.quantization_error(w, q) for q in quant.QTYPES}
+    assert e["q5_1"] < e["q5_0"] < e["q4_0"]
+    assert e["q4_1"] < e["q4_0"]
+    assert e["q8_0"] < e["q5_1"]
+
+
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+def test_extended_qmatmul_matches_reference(rng, qtype):
+    for m, k, n in [(8, 1024, 3072), (4, 1024, 66), (16, 144, 144), (3, 100, 50)]:
+        w = _rand(rng, k, n)
+        x = _rand(rng, m, k)
+        qt = quant.quantize(w, qtype)
+        ref = np.asarray(quant.qmatmul_reference(jnp.asarray(x), qt))
+        out = np.asarray(quant.qmatmul(jnp.asarray(x), qt))
+        assert out.shape == (m, n)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"{qtype} m={m} k={k} n={n}")
+
+
+def test_q5_0_extremal_exact(rng):
+    # sign-flip trick at 5 bits: the extremal weight of each block is exact
+    w = _rand(rng, 64, 128) * 3.0
+    qt = quant.quantize(w, "q5_0")
+    wd = np.asarray(quant.dequantize(qt))
+    wb = w.reshape(2, 32, 128)
+    idx = np.abs(wb).argmax(axis=1)
+    ext = np.take_along_axis(wb, idx[:, None, :], axis=1)[:, 0, :]
+    ext_d = np.take_along_axis(wd.reshape(2, 32, 128), idx[:, None, :], axis=1)[:, 0, :]
+    np.testing.assert_allclose(ext_d, ext, rtol=1e-6, atol=1e-6)
+
+
+def test_hibits_pack_unpack_identity(rng):
+    from ggml_experiments_tpu.quant.qtensor import _pack_hibits, unpack_hibits
+
+    hi = (rng.integers(0, 2, (3, 32, 128))).astype(np.uint8)
+    hb = _pack_hibits(hi)
+    assert hb.shape == (12, 128)
+    back = np.asarray(unpack_hibits(jnp.asarray(hb)))
+    np.testing.assert_array_equal(back.reshape(3, 32, 128), hi.astype(np.float32))
+
+
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+def test_extended_numpy_block_roundtrip(rng, qtype):
+    w = _rand(rng, 144, 66)
+    qt = quant.quantize(w, qtype)
+    codes, scales, mins, hibits = quant.to_numpy_blocks(qt)
+    qt2 = quant.from_numpy_blocks(codes, scales, qt.shape, qtype, mins=mins, hibits=hibits)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(qt)), np.asarray(quant.dequantize(qt2))
+    )
+
+
+@pytest.mark.parametrize("qtype", ["q4_1", "q5_0", "q5_1"])
+def test_extended_checkpoint_roundtrip(rng, qtype, tmp_path):
+    from ggml_experiments_tpu.formats import checkpoint
+
+    qt = quant.quantize(_rand(rng, 100, 70), qtype)
+    path = str(tmp_path / "q.gxt")
+    checkpoint.save(path, {"w": qt})
+    back = checkpoint.load_arrays(path)["w"]
+    assert back.qtype == qtype and back.shape == (100, 70)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(qt)), np.asarray(quant.dequantize(back))
+    )
+    assert (back.mins is None) == (qt.mins is None)
+    assert (back.hibits is None) == (qt.hibits is None)
+
+
 def test_qmatmul_shape_fuzz(rng):
     """Randomized shape sweep across both qtypes and both execution paths
     (Pallas-interpret for large K*N, inline-XLA for small)."""
     import jax.numpy as jnp
 
-    for trial in range(12):
+    for trial in range(15):
         m = int(rng.integers(1, 48))
         k = int(rng.integers(1, 300))
         n = int(rng.integers(1, 200))
-        qtype = ["q8_0", "q4_0"][trial % 2]
+        qtype = list(quant.QTYPES)[trial % len(quant.QTYPES)]
         w = rng.standard_normal((k, n)).astype(np.float32)
         x = rng.standard_normal((m, k)).astype(np.float32)
         qt = quant.quantize(w, qtype)
