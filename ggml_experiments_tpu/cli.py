@@ -355,6 +355,82 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_aot_export(args) -> int:
+    """Freeze a shape-specialized program into a deployable .gxa artifact
+    (StableHLO via jax.export) — the framework's counterpart of shipping the
+    reference's compiled ./main binary."""
+    _setup(args)
+    from ggml_experiments_tpu.serving import aot
+
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
+    if args.model == "gru":
+        from ggml_experiments_tpu.formats.gru_bin import load_gru_any
+
+        params = load_gru_any(args.weights, qtype=args.qtype)
+        aot.export_gru_decode(
+            params, batch=args.batch, prompt_len=args.prompt_len,
+            total_steps=args.steps, path=args.output, platforms=platforms,
+        )
+    else:
+        from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import from_named_tensors, infer_config
+
+        named = read_named_tensors(args.weights)
+        config = infer_config(named, image_size=args.image_size)
+        params = from_named_tensors(named, config, qtype=args.qtype)
+        aot.export_mobilevit_features(
+            params, batch=args.batch, image_size=config.image_size,
+            path=args.output, platforms=platforms,
+        )
+    meta, _ = aot.load_artifact(args.output)
+    print(json.dumps({"output": args.output, **meta}))
+    return 0
+
+
+def cmd_aot_run(args) -> int:
+    """Run an exported .gxa artifact against a weight file — the deployment
+    path: no model code is traced, the program is the one frozen at export."""
+    _setup(args)
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.serving import aot
+
+    meta, exp = aot.load_artifact(args.artifact)
+    if meta["kind"] == "gru-decode":
+        from ggml_experiments_tpu.formats.gru_bin import load_gru_any
+        from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+        params = load_gru_any(args.weights, qtype=args.qtype)
+        tok = CharTokenizer()
+        ids = tok.encode(args.prompt or "ROMEO:")[: meta["prompt_len"]]
+        b, p = meta["batch"], meta["prompt_len"]
+        prompt = np.zeros((b, p), np.int32)
+        prompt[:, : len(ids)] = ids
+        lengths = np.full((b,), len(ids), np.int32)
+        toks = np.asarray(exp.call(params, jnp.asarray(prompt), jnp.asarray(lengths)))
+        print(tok.decode(toks[0]))
+    elif meta["kind"] == "mobilevit-features":
+        from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+        from ggml_experiments_tpu.models.mobilevit import from_named_tensors, infer_config
+
+        named = read_named_tensors(args.weights)
+        config = infer_config(named, image_size=meta["image_size"])
+        params = from_named_tensors(named, config, qtype=args.qtype)
+        img = _load_image(args, meta["image_size"])
+        images = jnp.asarray(np.stack([img] * meta["batch"]))
+        feats = np.asarray(exp.call(params, images))
+        b, h, w, c = feats.shape
+        print(f"output feature shape: : Dims: ({w}, {h}, {c})")
+        vec = feats[0, 0, 0]
+        head = ", ".join(f"{v:g}" for v in vec[:5])
+        tail = ", ".join(f"{v:g}" for v in vec[-5:])
+        print(f"i0 = 0, i1 = 0\n{head}, ...{tail},")
+    else:
+        raise ValueError(f"unknown artifact kind {meta['kind']!r}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     """Measure decode / feature-extraction throughput under the pinned
     protocol (utils/benchmarking.PROTOCOL) on the current device. Weights
@@ -535,6 +611,29 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation ppl every N steps (needs --eval-corpus)")
     _add_common(t)
     t.set_defaults(fn=cmd_train_gru)
+
+    ax = sub.add_parser("aot-export",
+                        help="freeze a shape-specialized program to a .gxa artifact")
+    ax.add_argument("--model", choices=["gru", "mobilevit"], default="gru")
+    ax.add_argument("--weights", required=True)
+    ax.add_argument("--output", required=True, help=".gxa artifact path")
+    ax.add_argument("--batch", type=int, default=8)
+    ax.add_argument("--prompt-len", type=int, default=50, help="gru: max prompt chars")
+    ax.add_argument("--steps", type=int, default=200,
+                    help="gru: total decode steps (reference default 200)")
+    ax.add_argument("--image-size", type=int, default=None)
+    ax.add_argument("--platforms", default=None,
+                    help="comma list (e.g. cpu,tpu); default: current backend")
+    _add_common(ax)
+    ax.set_defaults(fn=cmd_aot_export)
+
+    ar = sub.add_parser("aot-run", help="run a .gxa artifact against a weight file")
+    ar.add_argument("--artifact", required=True)
+    ar.add_argument("--weights", required=True)
+    ar.add_argument("--prompt", default=None)
+    ar.add_argument("--image", default=None)
+    _add_common(ar)
+    ar.set_defaults(fn=cmd_aot_run)
 
     b = sub.add_parser("bench", help="throughput under the pinned protocol (JSON)")
     b.add_argument("--model", choices=["gru", "mobilevit"], default="gru")

