@@ -370,6 +370,7 @@ def cmd_aot_export(args) -> int:
         aot.export_gru_decode(
             params, batch=args.batch, prompt_len=args.prompt_len,
             total_steps=args.steps, path=args.output, platforms=platforms,
+            qtype=args.qtype,
         )
     else:
         from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
@@ -380,7 +381,7 @@ def cmd_aot_export(args) -> int:
         params = from_named_tensors(named, config, qtype=args.qtype)
         aot.export_mobilevit_features(
             params, batch=args.batch, image_size=config.image_size,
-            path=args.output, platforms=platforms,
+            path=args.output, platforms=platforms, qtype=args.qtype,
         )
     meta, _ = aot.load_artifact(args.output)
     print(json.dumps({"output": args.output, **meta}))
@@ -397,6 +398,18 @@ def cmd_aot_run(args) -> int:
     from ggml_experiments_tpu.serving import aot
 
     meta, exp = aot.load_artifact(args.artifact)
+    # The artifact records the qtype its params pytree was frozen with; use it
+    # as the default and reject a mismatch up front (a wrong qtype otherwise
+    # dies deep inside exp.call with an opaque pytree/shape error).
+    export_qtype = meta.get("qtype")
+    if args.qtype is None:
+        args.qtype = export_qtype
+    elif "qtype" in meta and args.qtype != export_qtype:
+        raise SystemExit(
+            f"--qtype {args.qtype} does not match the artifact's export qtype "
+            f"{export_qtype!r}; the frozen program only accepts params of the "
+            f"export-time pytree structure"
+        )
     if meta["kind"] == "gru-decode":
         from ggml_experiments_tpu.formats.gru_bin import load_gru_any
         from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
@@ -621,7 +634,8 @@ def build_parser() -> argparse.ArgumentParser:
     ax.add_argument("--prompt-len", type=int, default=50, help="gru: max prompt chars")
     ax.add_argument("--steps", type=int, default=200,
                     help="gru: total decode steps (reference default 200)")
-    ax.add_argument("--image-size", type=int, default=None)
+    ax.add_argument("--image-size", type=int, default=256,
+                    help="mobilevit input resolution (reference: 256)")
     ax.add_argument("--platforms", default=None,
                     help="comma list (e.g. cpu,tpu); default: current backend")
     _add_common(ax)

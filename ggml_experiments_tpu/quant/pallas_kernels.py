@@ -226,10 +226,12 @@ def _pick_tiles(m, kp, np_, qtype):
     """VMEM-aware tile choice for the small/odd shapes of these workloads."""
     tile_m = min(_round_up(m, 8), 256)
     tile_n = min(np_, 512)
-    # keep codes(+hibits) tile under ~1 MB, K a multiple of 32 (whole blocks)
+    # keep codes(+hibits+mins) tile under ~1 MB, K a multiple of 32 (whole blocks)
     bytes_per_k = tile_n * (1 if qtype == "q8_0" else 0.5)
     if qtype in ("q5_0", "q5_1"):
-        bytes_per_k += tile_n * 0.125
+        bytes_per_k += tile_n * 0.125  # hibits: 1 bit/weight
+    if qtype in ("q4_1", "q5_1"):
+        bytes_per_k += tile_n * 0.125  # f32 mins: 4 bytes per 32-weight block
     max_k = int((1 << 20) / max(bytes_per_k, 1))
     tile_k = min(kp, max(_round_up(min(max_k, kp), BLOCK), BLOCK))
     # tile_k must divide into grid steps of whole blocks; also x tile must fit

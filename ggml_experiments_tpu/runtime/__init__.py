@@ -21,7 +21,7 @@ import numpy as np
 _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO = os.path.join(_DIR, "libgxt.so")
 _ABI = 2  # 2: +q4_1/q5_0/q5_1 codecs
-_lock = threading.Lock()
+_lock = threading.RLock()  # re-entrant: _load() calls build_native(force=True) under it
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
 

@@ -67,7 +67,14 @@ def register_serializations() -> None:
     from ggml_experiments_tpu.ops.attention import AttentionParams
     from ggml_experiments_tpu.ops.conv import ConvBNAct, SpaceToDepthStem
     from ggml_experiments_tpu.ops.gru import GRUCellParams
+    from ggml_experiments_tpu.ops.norm import FoldedBN
     from ggml_experiments_tpu.quant.qtensor import QTensor
+
+    # NamedTuples inside param pytrees need their own registration path
+    # (register_pytree_node_serialization rejects namedtuple classes).
+    jax_export.register_namedtuple_serialization(
+        FoldedBN, serialized_name="ggml_experiments_tpu.FoldedBN"
+    )
 
     for cls in (
         QTensor,
@@ -119,6 +126,7 @@ def export_gru_decode(
     total_steps: int,
     path: Optional[str] = None,
     platforms: Optional[Tuple[str, ...]] = None,
+    qtype: Optional[str] = None,
 ) -> bytes:
     """Export greedy batch decode at fixed (batch, prompt_len, total_steps).
 
@@ -142,7 +150,7 @@ def export_gru_decode(
         save_artifact(path, blob, {
             "kind": "gru-decode",
             "batch": batch, "prompt_len": prompt_len, "total_steps": total_steps,
-            "platforms": list(exp.platforms),
+            "platforms": list(exp.platforms), "qtype": qtype,
         })
     return blob
 
@@ -154,6 +162,7 @@ def export_mobilevit_features(
     image_size: int,
     path: Optional[str] = None,
     platforms: Optional[Tuple[str, ...]] = None,
+    qtype: Optional[str] = None,
 ) -> bytes:
     """Export feature extraction at a fixed batch: ``(params, images f32
     (B, S, S, 3)) -> features (B, S/32, S/32, C)`` — the deployable form of
@@ -169,6 +178,6 @@ def export_mobilevit_features(
         save_artifact(path, blob, {
             "kind": "mobilevit-features",
             "batch": batch, "image_size": image_size,
-            "platforms": list(exp.platforms),
+            "platforms": list(exp.platforms), "qtype": qtype,
         })
     return blob

@@ -93,6 +93,34 @@ def test_eval_cli(capsys):
     assert rec["qtype"] == "q8_0" and rec["top1_agreement"] > 0.9 and "ppl_a" in rec
 
 
+def test_aot_export_run_cli_mobilevit(tmp_path, capsys):
+    """aot-export with default flags (regression: --image-size default was None
+    and crashed export), then aot-run with the qtype defaulted from the
+    artifact metadata."""
+    art = str(tmp_path / "feat.gxa")
+    rc = main(["aot-export", "--model", "mobilevit", "--weights", MV,
+               "--output", art, "--batch", "1", "--qtype", "q8_0"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["kind"] == "mobilevit-features" and rec["qtype"] == "q8_0"
+    assert rec["image_size"] == 256
+    rc = main(["aot-run", "--artifact", art, "--weights", MV])  # no --qtype
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "output feature shape" in out and "i0 = 0, i1 = 0" in out
+
+
+def test_aot_run_cli_qtype_mismatch_rejected(tmp_path, capsys):
+    art = str(tmp_path / "dec.gxa")
+    rc = main(["aot-export", "--model", "gru", "--weights", GRU, "--output", art,
+               "--batch", "1", "--prompt-len", "4", "--steps", "8",
+               "--qtype", "q8_0"])
+    assert rc == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="does not match the artifact"):
+        main(["aot-run", "--artifact", art, "--weights", GRU, "--qtype", "q4_0"])
+
+
 def test_cli_bench_gru_smoke(capsys):
     """gxt bench runs on CPU at a tiny config and emits protocol-stamped JSON."""
     import json
