@@ -10,6 +10,8 @@ optional convenience for exotic formats, not a hard dependency).
 Supported:
 * PNG — 8-bit gray / gray+alpha / RGB / RGBA / palette, all five scanline
   filters, non-interlaced (interlaced falls back to PIL).
+* JPEG — baseline sequential DCT (utils/jpeg.py; progressive falls back
+  to PIL).
 * PPM — binary P6 (maxval <= 255) and ascii P3.
 * BMP — uncompressed 24/32-bit bottom-up or top-down.
 """
@@ -30,7 +32,13 @@ def decode(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
-    raise ValueError("unrecognized image format (PNG/PPM/BMP supported natively)")
+    if data[:2] == b"\xff\xd8":
+        from ggml_experiments_tpu.utils.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise ValueError(
+        "unrecognized image format (PNG/JPEG/PPM/BMP supported natively)"
+    )
 
 
 # ---------------------------------------------------------------------------

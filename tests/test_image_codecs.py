@@ -81,3 +81,78 @@ def test_load_image_uses_native_path(rng, tmp_path):
 def test_unknown_format_raises():
     with pytest.raises(ValueError, match="unrecognized"):
         image_codecs.decode(b"GARBAGE NOT AN IMAGE")
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, utils/jpeg.py)
+# ---------------------------------------------------------------------------
+
+def _jpeg_bytes(img, **save_kw):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", **save_kw)
+    return buf.getvalue()
+
+
+def _assert_close_to_pil(data, max_diff=4, mean_diff=0.6):
+    """Independent IDCT/upsampling implementations differ by a few LSBs."""
+    got = image_codecs.decode(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= max_diff and diff.mean() <= mean_diff, (
+        diff.max(), diff.mean())
+
+
+@pytest.mark.parametrize("subsampling,quality", [
+    (0, 95),   # 4:4:4
+    (1, 90),   # 4:2:2
+    (2, 85),   # 4:2:0 (the common default)
+    (2, 50),   # heavy quantization
+])
+def test_jpeg_vs_pil(rng, subsampling, quality):
+    img = _rand_img(rng, 72, 88, smooth=True)
+    img[20:40, 30:60] = [250, 40, 10]  # hard edges stress chroma upsampling
+    _assert_close_to_pil(_jpeg_bytes(img, quality=quality,
+                                     subsampling=subsampling))
+
+
+def test_jpeg_odd_dims_and_gray(rng):
+    # dims not multiples of the MCU force edge-block cropping on every path
+    img = _rand_img(rng, 37, 53, smooth=True)
+    _assert_close_to_pil(_jpeg_bytes(img, quality=90, subsampling=2))
+    gray = _rand_img(rng, 25, 31, smooth=True)[..., 0]
+    data = _jpeg_bytes(gray, quality=90)
+    got = image_codecs.decode(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_markers(rng):
+    img = _rand_img(rng, 48, 64, smooth=True)
+    _assert_close_to_pil(_jpeg_bytes(img, quality=90, subsampling=2,
+                                     restart_marker_blocks=2))
+
+
+def test_jpeg_progressive_falls_back(rng):
+    from ggml_experiments_tpu.utils.jpeg import decode_jpeg
+
+    img = _rand_img(rng, 32, 32, smooth=True)
+    data = _jpeg_bytes(img, quality=85, progressive=True)
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(data)
+    # ...but the load_image entry point still decodes it via the PIL fallback
+    from ggml_experiments_tpu.utils.image import load_image
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "x.jpg")
+        with open(p, "wb") as f:
+            f.write(data)
+        out = load_image(p)
+    assert out.shape == (32, 32, 3)
+
+
+def test_jpeg_truncated_raises(rng):
+    img = _rand_img(rng, 24, 24)
+    data = _jpeg_bytes(img, quality=90)
+    with pytest.raises(ValueError):
+        image_codecs.decode(data[:20])
