@@ -207,6 +207,8 @@ class EngineStats:
     requests_canceled: int = 0
     device_steps: int = 0
     wall_time_s: float = 0.0
+    fetch_depth_shrinks: int = 0    # adaptive pipeline backed off (slow link)
+    fetch_depth_recoveries: int = 0  # ...and later grew back
 
     @property
     def tokens_per_s(self) -> float:
@@ -234,6 +236,7 @@ class DecodeEngine:
         enable_sampling: Optional[bool] = None,
         seed: int = 0,
         fetch_depth: int = 2,
+        fetch_stall_s: float = 5.0,
         max_pending: Optional[int] = None,
         use_fused_tick: Optional[bool] = None,
     ):
@@ -366,11 +369,19 @@ class DecodeEngine:
         # up to fetch_depth ticks of latency; drain/snapshot flush everything.
         # Depth 1-2 is the robust choice on constrained/tunneled links (a
         # 1024-slot soak showed deep pipelines can stall minutes on the first
-        # mid-stream readback there); raise it on direct-attached hosts.
+        # mid-stream readback there); raise it on direct-attached hosts —
+        # the depth now also ADAPTS: a readback slower than ``fetch_stall_s``
+        # halves the live depth (down to 1), and sustained fast readbacks
+        # grow it back toward the configured value, so a deep pipeline on a
+        # link that turns out to be slow degrades to the robust setting by
+        # itself instead of stalling for minutes per tick.
         # Entries: (toks_device_array, [(slot, request, n_new), ...]).
         from collections import deque
 
         self.fetch_depth = max(1, int(fetch_depth))
+        self._configured_fetch_depth = self.fetch_depth
+        self.fetch_stall_s = float(fetch_stall_s)
+        self._fast_flushes = 0
         self._pending_fetch = deque()
 
     # -- public API ---------------------------------------------------------
@@ -446,13 +457,19 @@ class DecodeEngine:
         raise TimeoutError("engine did not drain in time")
 
     # -- engine internals ---------------------------------------------------
+    def _read_tokens(self, toks_dev) -> np.ndarray:
+        """The blocking device->host readback (seam for fault injection)."""
+        return np.asarray(toks_dev)
+
     def _flush_one(self) -> None:
         """Distribute the OLDEST deferred tick's tokens to their requests —
         the only host<->device sync in the loop, overlapping newer scans.
         A request completes (``_done``) HERE, once its final tokens landed —
         never at slot eviction, which may run ticks ahead of the fetches."""
         toks_dev, targets = self._pending_fetch.popleft()
-        toks = np.asarray(toks_dev)
+        t0 = time.perf_counter()
+        toks = self._read_tokens(toks_dev)
+        self._adapt_fetch_depth(time.perf_counter() - t0)
         for slot, req, n in targets:
             if req._canceled:
                 continue
@@ -464,6 +481,32 @@ class DecodeEngine:
                     req.on_token(t)
             if len(req._tokens) >= req.prompt_ids.size + req.max_new_tokens:
                 req._done.set()
+
+    def _adapt_fetch_depth(self, readback_s: float) -> None:
+        """Back the fetch pipeline off a slow link; grow it back when clean.
+
+        The depth-vs-stall tradeoff (docs in __init__) was previously a
+        static engine parameter pinned to 1-2 by one observed multi-minute
+        stall on the tunneled backend. Now the engine measures every
+        readback: one slower than ``fetch_stall_s`` halves the live depth
+        (floor 1), and 128 consecutive fast readbacks double it again (cap:
+        the configured depth) — so a misconfigured deep pipeline costs a few
+        slow ticks, not a wedged session, and a transient stall doesn't
+        permanently degrade a healthy link."""
+        if readback_s > self.fetch_stall_s:
+            self._fast_flushes = 0
+            if self.fetch_depth > 1:
+                self.fetch_depth = max(1, self.fetch_depth // 2)
+                self.stats.fetch_depth_shrinks += 1
+        else:
+            self._fast_flushes += 1
+            if (self.fetch_depth < self._configured_fetch_depth
+                    and self._fast_flushes >= 128):
+                self.fetch_depth = min(
+                    self._configured_fetch_depth, self.fetch_depth * 2
+                )
+                self._fast_flushes = 0
+                self.stats.fetch_depth_recoveries += 1
 
     def _flush_pending(self) -> None:
         """Flush every in-flight token fetch (drain / snapshot / eviction)."""

@@ -359,3 +359,75 @@ def test_fused_tick_sampling_guards_on_cpu(params):
     eng = DecodeEngine(qparams, n_slots=512, max_prompt=8, inner_steps=128,
                        temperature=0.8)
     assert not eng.use_fused_tick  # auto: sampling + CPU backend -> scan
+
+
+def test_deep_fetch_pipeline_soak(params):
+    """fetch_depth 4+ off-TPU (VERDICT r2 #7): a deep readback pipeline with
+    mixed-length requests + live cancellations drains cleanly and every
+    surviving result is token-exact vs offline decode."""
+    eng = DecodeEngine(params, n_slots=6, max_prompt=16, inner_steps=8,
+                       fetch_depth=6)
+    rng = np.random.default_rng(3)
+    reqs = []
+    for i in range(40):
+        plen = int(rng.integers(1, 12))
+        prompt = rng.integers(0, CFG.vocab_size, plen).tolist()
+        new = int(rng.integers(3, 40))
+        reqs.append((prompt, new, eng.submit(prompt, new)))
+    for _, _, r in reqs[::7]:
+        r.cancel()
+    eng.run_until_idle(timeout_s=300)
+    survivors = [t for i, t in enumerate(reqs) if i % 7 != 0]
+    for prompt, new, req in survivors:
+        np.testing.assert_array_equal(
+            req.result(timeout=1), offline(params, prompt, len(prompt) + new))
+    assert eng.stats.requests_completed == len(survivors)
+    # the pipeline genuinely ran deep: ticks outnumber flush-forced syncs
+    assert eng.fetch_depth == 6 and eng.stats.fetch_depth_shrinks == 0
+
+
+def test_fetch_depth_adapts_to_slow_readback(params):
+    """An injected slow readback (the 150s-stall class from the round-2 TPU
+    soak) shrinks the live fetch depth to 1 instead of stalling every tick;
+    sustained fast readbacks grow it back; results stay token-exact."""
+    eng = DecodeEngine(params, n_slots=4, max_prompt=16, inner_steps=4,
+                       fetch_depth=8, fetch_stall_s=0.01)
+    slow_ticks = {2, 3}  # inject on the 3rd/4th readbacks
+    seen = {"n": 0}
+    real = eng._read_tokens
+
+    def faulty(toks_dev):
+        import time as _t
+        out = real(toks_dev)
+        if seen["n"] in slow_ticks:
+            _t.sleep(0.05)  # > fetch_stall_s: a stalled link
+        seen["n"] += 1
+        return out
+
+    eng._read_tokens = faulty
+    rng = np.random.default_rng(5)
+    reqs = []
+    for _ in range(24):
+        plen = int(rng.integers(1, 8))
+        prompt = rng.integers(0, CFG.vocab_size, plen).tolist()
+        new = int(rng.integers(20, 60))
+        reqs.append((prompt, new, eng.submit(prompt, new)))
+    eng.run_until_idle(timeout_s=300)
+    for prompt, new, req in reqs:
+        np.testing.assert_array_equal(
+            req.result(timeout=1), offline(params, prompt, len(prompt) + new))
+    assert eng.stats.fetch_depth_shrinks >= 2          # 8 -> 4 -> 2
+    assert eng.fetch_depth < 8 or eng.stats.fetch_depth_recoveries > 0
+
+
+def test_fetch_depth_recovers_after_sustained_fast_flushes(params):
+    eng = DecodeEngine(params, n_slots=2, max_prompt=8, inner_steps=2,
+                       fetch_depth=4, fetch_stall_s=0.01)
+    eng.fetch_depth = 1
+    eng.stats.fetch_depth_shrinks = 1
+    for _ in range(2 * 128):
+        eng._adapt_fetch_depth(0.0)  # fast readbacks
+    assert eng.fetch_depth == 4 and eng.stats.fetch_depth_recoveries == 2
+    # a new stall immediately backs off again
+    eng._adapt_fetch_depth(1.0)
+    assert eng.fetch_depth == 2 and eng.stats.fetch_depth_shrinks == 2
