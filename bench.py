@@ -149,21 +149,29 @@ def main():
     )
 
     from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
-    from ggml_experiments_tpu.utils.benchmarking import PROTOCOL, timeit_pipelined
+    from ggml_experiments_tpu.utils.benchmarking import (
+        PROTOCOL, timeit_pipelined, timeit_stats,
+    )
 
     steps = 256
     gen = jax.jit(gru_textgen.generate, static_argnames=("total_steps", "compute_dtype"))
 
-    def bench_decode(fn, batch, name, steps_=None):
+    results_stats = {}
+
+    def bench_decode(fn, batch, name, steps_=None, stats_key=None):
         steps_ = steps if steps_ is None else steps_
         prompt = jnp.asarray(rng.integers(0, v, (batch, 8)), jnp.int32)
         lengths = jnp.full((batch,), 8, jnp.int32)
         t0 = time.perf_counter()
-        best = timeit_pipelined(lambda: fn(prompt, lengths, batch))
-        tps = batch * steps_ / best
+        st = timeit_stats(lambda: fn(prompt, lengths, batch))
+        tps = batch * steps_ / st.best
         log(f"TPU q8_0 {name} decode: batch={batch} steps={steps_} "
-            f"{best*1e3:.1f}ms/call -> {tps:,.0f} tokens/s/chip "
-            f"({best/steps_*1e6:.1f}us/step; incl. compile {time.perf_counter()-t0:.0f}s)")
+            f"{st.best*1e3:.1f}ms/call -> {tps:,.0f} tokens/s/chip "
+            f"({st.best/steps_*1e6:.1f}us/step; median {st.median*1e3:.1f}ms, "
+            f"spread {st.spread:.2f}x/{st.rounds_run}r; "
+            f"incl. compile {time.perf_counter()-t0:.0f}s)")
+        if stats_key:
+            results_stats[stats_key] = st.asdict()
         return tps
 
     results = {}
@@ -175,24 +183,32 @@ def main():
     # compile per run — B=1024 configs below cache reliably and are faster.)
     results["scan_bf16"] = bench_decode(
         lambda p, l, b: gen(params, p, l, total_steps=steps, compute_dtype=jnp.bfloat16),
-        decode_batch, "scan bf16")
+        decode_batch, "scan bf16", stats_key="scan_bf16")
     try:
         results["fused_bf16"] = bench_decode(
             lambda p, l, b: fused_gru_decode(params, p, l, steps), decode_batch,
-            "fused-kernel")
+            "fused-kernel", stats_key="fused_bf16")
     except Exception as ex:
         log(f"fused decode skipped: {type(ex).__name__}: {ex}")
     if on_tpu:
         # the large-slot serving configuration: throughput keeps rising past
         # B=1024 (the per-step fixed overheads amortize over more lanes);
         # B=2048/T=512 is the measured sweet spot — B=4096 exceeds the
-        # kernel's VMEM state budget and fails to compile.
+        # kernel's VMEM state budget and fails to compile. The scan row at
+        # the same shape pins decode()'s dispatch choice (fused iff B>=2048
+        # AND T>=256, models/gru_textgen.decode) inside the artifact.
         try:
             results["fused_bf16_B2048_T512"] = bench_decode(
                 lambda p, l, b: fused_gru_decode(params, p, l, 512), 2048,
-                "fused-kernel large-batch", steps_=512)
+                "fused-kernel large-batch", steps_=512,
+                stats_key="fused_bf16_B2048_T512")
+            results["scan_bf16_B2048_T512"] = bench_decode(
+                lambda p, l, b: gen(params, p, l, total_steps=512,
+                                    compute_dtype=jnp.bfloat16),
+                2048, "scan large-batch", steps_=512,
+                stats_key="scan_bf16_B2048_T512")
         except Exception as ex:
-            log(f"large-batch fused decode skipped: {type(ex).__name__}: {ex}")
+            log(f"large-batch decode skipped: {type(ex).__name__}: {ex}")
     tokens_per_s = max(results.values())
     headline_config = max(results, key=results.get)
     log(f"headline config: {headline_config}")
@@ -320,6 +336,9 @@ def main():
         "vs_baseline_matched_batch": round(tokens_per_s / baseline_matched, 2),
         "headline_config": headline_config,
         "configs": {k: round(v, 1) for k, v in results.items()},
+        "configs_dispersion": results_stats,
+        "dispatch_thresholds": "decode() routes fused iff B >= 2048 and "
+                               "T >= 256 (re-derived round 3)",
         "protocol": PROTOCOL,
         "backend": "tpu" if on_tpu else "cpu-smoke",
     }

@@ -403,19 +403,16 @@ def _tick_kernel(
     h_out_ref[:] = h_ref[:]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype",
-                     "enable_sampling"),
-)
-def _fused_tick_jit(
-    emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
-    ftemp=None, seed=None,
-    *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
-    enable_sampling: bool = False,
+def _tick_call(
+    *operands,
+    units: int, inner_steps: int, compute_dtype, qtype: str,
+    enable_sampling: bool,
 ):
-    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    """The raw tick pallas_call on final-layout operands (local shapes)."""
+    cd = compute_dtype
     kdiv = 2 if qtype == "q4_0" else 1
+    emb, wc, uc, dc = operands[0], operands[1], operands[3], operands[6]
+    prompt = operands[9]
     pp, b = prompt.shape
     vp, ke = emb.shape
     g = wc.shape[1]
@@ -426,12 +423,10 @@ def _fused_tick_jit(
         qtype=qtype, enable_sampling=enable_sampling,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    operands = [emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h]
     in_specs = [vmem] * 13
     if enable_sampling:
-        operands += [ftemp, seed]
         in_specs += [vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
-    toks, srow_out, h_out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=(vmem, vmem, vmem),
@@ -459,19 +454,116 @@ def _fused_tick_jit(
         ),
         interpret=_default_interpret(),
     )(*operands)
-    return toks, srow_out, h_out
+
+
+def _tick_slot_axis(arg_shapes):
+    """The mesh axis the slot dim is sharded over (prompt dim 1 / h dim 0)."""
+    from jax.sharding import NamedSharding
+
+    for idx, dim in ((9, 1), (12, 0), (11, 0), (10, 1)):
+        s = arg_shapes[idx].sharding
+        if isinstance(s, NamedSharding) and len(s.spec) > dim and s.spec[dim] is not None:
+            return s.spec[dim]
+    return None
+
+
+@functools.lru_cache(maxsize=None)
+def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
+                      enable_sampling):
+    """Slot-parallel rule for the serving tick: under a sharded jit the slot
+    (batch) axis stays local per device — each device ticks only its own
+    slots with replicated weights — instead of XLA gathering every operand
+    and running the kernel replicated on all devices (the same failure mode
+    the qmatmul/flash/train kernels guard against). Weights and all per-slot
+    layout dims must be whole per device; only the slot axis shards.
+
+    This is what lets multi-process DecodeEngines route through the fused
+    tick (VERDICT r2 #5): state enters replicated, a sharding constraint in
+    _fused_slot_tick_jit slices it per shard, each process's devices tick
+    their local slots, and the (small, uint8-packable) outputs all-gather
+    back to the replicated layout the engine's host loop reads."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+
+    def core(*ops):
+        return _tick_call(
+            *ops, units=units, inner_steps=inner_steps, compute_dtype=cd,
+            qtype=qtype, enable_sampling=enable_sampling,
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax = _tick_slot_axis(arg_shapes)
+        colb = NamedSharding(mesh, P(None, b_ax))
+        return (colb, colb, NamedSharding(mesh, P(b_ax, None)))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax = _tick_slot_axis(arg_shapes)
+        rep2 = NamedSharding(mesh, P(None, None))
+        colb = NamedSharding(mesh, P(None, b_ax))   # (x, B) layouts
+        rowb = NamedSharding(mesh, P(b_ax, None))   # (B, x) layouts
+        in_sh = [rep2] * 9 + [colb, colb, rowb, rowb]
+        if enable_sampling:
+            in_sh += [colb, NamedSharding(mesh, P(None))]
+        return mesh, core, (colb, colb, rowb), tuple(in_sh)
+
+    fn = custom_partitioning(core)
+    weights = "v e, k0 g, s0 g, k1 g, s1 g, r0 g, k2 w, s2 w, v2 x"
+    state_in = "p b, r1 b, b c0, b k3"
+    rule = f"{weights}, {state_in}"
+    repl = ["v", "e", "k0", "g", "s0", "k1", "s1", "r0", "k2", "w", "s2",
+            "v2", "x", "p", "r1", "c0", "k3", "t"]
+    if enable_sampling:
+        rule += ", r2 b, i"
+        repl += ["r2", "i"]
+    rule += " -> t b, r1 b, b k3"
+    fn.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+        need_replication_factors=tuple(repl),
+    )
+    return fn
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("inner_steps", "compute_dtype_name", "qtype", "enable_sampling"),
+    static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype",
+                     "enable_sampling"),
+)
+def _fused_tick_jit(
+    emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
+    ftemp=None, seed=None,
+    *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
+    enable_sampling: bool = False,
+):
+    operands = [emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h]
+    if enable_sampling:
+        operands += [ftemp, seed]
+    return _tick_partitioned(
+        units, inner_steps, compute_dtype_name, qtype, enable_sampling
+    )(*operands)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("inner_steps", "compute_dtype_name", "qtype",
+                     "enable_sampling", "mesh", "slot_axis"),
     donate_argnames=("state",),
 )
 def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name,
-                         qtype, enable_sampling):
+                         qtype, enable_sampling, mesh=None, slot_axis=None):
     """One-dispatch tick: weight prep + layout glue + kernel + state repack
     all inside a single jitted program (the glue is on-device-cheap; eagerly
-    it would cost a tunnel dispatch per op)."""
+    it would cost a tunnel dispatch per op).
+
+    ``mesh``/``slot_axis`` (static): shard the kernel's slot dim over that
+    mesh axis — the padded per-slot operands are sliced per shard (free: the
+    engine's state is replicated), each device ticks only its local slots
+    via _tick_partitioned's rule, and the outputs constrain back to
+    replicated so the engine's host loop (np.asarray readbacks, cursor
+    shadow) is untouched. None = replicated execution on every device."""
     (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params)
     b, p = state.prompt.shape
     bp = _round_up(b, 128)
@@ -492,12 +584,30 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
             ftemp=jnp.zeros((8, bp), jnp.float32).at[0, :b].set(state.temp),
             seed=jnp.reshape(seed.astype(jnp.int32), (1,)),
         )
+    if mesh is not None and slot_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        colb = NamedSharding(mesh, P(None, slot_axis))
+        rowb = NamedSharding(mesh, P(slot_axis, None))
+        prompt = jax.lax.with_sharding_constraint(prompt, colb)
+        srow = jax.lax.with_sharding_constraint(srow, colb)
+        scol = jax.lax.with_sharding_constraint(scol, rowb)
+        h = jax.lax.with_sharding_constraint(h, rowb)
+        if enable_sampling:
+            extra["ftemp"] = jax.lax.with_sharding_constraint(extra["ftemp"], colb)
     toks, srow_out, h_out = _fused_tick_jit(
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
         units=u, inner_steps=inner_steps,
         compute_dtype_name=compute_dtype_name, qtype=qtype,
         enable_sampling=enable_sampling, **extra,
     )
+    if mesh is not None and slot_axis is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        toks = jax.lax.with_sharding_constraint(toks, repl)
+        srow_out = jax.lax.with_sharding_constraint(srow_out, repl)
+        h_out = jax.lax.with_sharding_constraint(h_out, repl)
     new_state = dataclasses.replace(
         state,
         h=h_out[:b, :u],
@@ -511,7 +621,8 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
 
 
 def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16,
-                    enable_sampling: bool = False, seed=0):
+                    enable_sampling: bool = False, seed=0,
+                    mesh=None, slot_axis=None):
     """Advance the serving engine's slot state ``inner_steps`` tokens
     through the persistent kernel.
 
@@ -527,10 +638,26 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     reseeds the PRNG per tick — pass the engine's deterministic tick seed.
     The sample stream differs from the scan tick's jax.random stream; both
     are valid draws from the same per-step distribution.
+
+    ``mesh``/``slot_axis``: shard the tick's slot dim over that mesh axis
+    (each device ticks only its local slots; outputs return replicated) —
+    the multi-process serving path. The padded slot count must divide the
+    axis; on real TPUs each shard must keep a lane-aligned (128-multiple)
+    slot width, so use n_slots >= 128 * axis_size.
     """
     qtype = _check_quantized(params)
+    if slot_axis is not None:
+        if mesh is None or slot_axis not in mesh.axis_names:
+            raise ValueError(f"slot_axis={slot_axis!r} requires a mesh with "
+                             f"that axis")
+        n = mesh.shape[slot_axis]
+        bp = _round_up(state.prompt.shape[0], 128)
+        if bp % n:
+            raise ValueError(f"padded slot count {bp} not divisible by "
+                             f"{slot_axis} axis size {n}")
     return _fused_slot_tick_jit(
         params, state, jnp.asarray(seed, jnp.int32), inner_steps=inner_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         qtype=qtype, enable_sampling=enable_sampling,
+        mesh=mesh, slot_axis=slot_axis,
     )
