@@ -655,8 +655,14 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
         if bp % n:
             raise ValueError(f"padded slot count {bp} not divisible by "
                              f"{slot_axis} axis size {n}")
+    import numpy as _np
+
+    # seed stays a host scalar: it enters the jit uncommitted (identical on
+    # every host by the engine's deterministic tick counter), which is what
+    # lets it join a multi-process global computation — a process-local
+    # device array here would poison the SPMD program.
     return _fused_slot_tick_jit(
-        params, state, jnp.asarray(seed, jnp.int32), inner_steps=inner_steps,
+        params, state, _np.int32(seed), inner_steps=inner_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         qtype=qtype, enable_sampling=enable_sampling,
         mesh=mesh, slot_axis=slot_axis,

