@@ -112,6 +112,7 @@ def cmd_features(args) -> int:
         conv_dtype="float16" if args.f16_convs else None,
         flash_attn=args.flash_attn,
         fused_layer=getattr(args, "fused_layer", None),
+        act_storage=getattr(args, "act_storage", None),
     )
     img = _load_image(args, config.image_size)
     t0 = time.time()
@@ -152,6 +153,7 @@ def cmd_classify(args) -> int:
         named, config, qtype=args.qtype,
         flash_attn=getattr(args, "flash_attn", None),
         fused_layer=getattr(args, "fused_layer", None),
+        act_storage=getattr(args, "act_storage", None),
     )
     img = _load_image(args, config.image_size)
     cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
@@ -544,6 +546,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--fused-layer", action=argparse.BooleanOptionalAction, default=None,
                    help="whole-transformer-layer fused Pallas kernel (one HBM "
                         "round trip per layer; default: auto — on for TPU)")
+    f.add_argument("--act-storage", choices=["f8_e5m2", "f8_e4m3", "bfloat16"],
+                   default=None,
+                   help="materialize the early conv-stage activations below "
+                        "bf16 (f8_e5m2: measured 1.09x at B=128 for a bounded "
+                        "accuracy cost; bf16-compute only)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     f.add_argument("--num-heads", type=int, default=4,
@@ -563,6 +570,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fused Pallas attention (see `features --flash-attn`)")
     c.add_argument("--fused-layer", action=argparse.BooleanOptionalAction, default=None,
                    help="whole-layer fused kernel (see `features --fused-layer`)")
+    c.add_argument("--act-storage", choices=["f8_e5m2", "f8_e4m3", "bfloat16"],
+                   default=None,
+                   help="sub-bf16 conv activation storage (see `features --act-storage`)")
     _add_common(c)
     c.set_defaults(fn=cmd_classify)
 

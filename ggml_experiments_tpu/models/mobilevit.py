@@ -91,9 +91,18 @@ class InvertedResidualParams:
                 inverted_residual_fused,
             )
 
-            return inverted_residual_fused(self, x, compute_dtype=compute_dtype)
+            # the Mosaic kernel takes bf16 refs; sub-bf16-stored inputs
+            # (ConvBNAct.store) widen at the kernel boundary
+            return inverted_residual_fused(
+                self, x.astype(compute_dtype), compute_dtype=compute_dtype
+            )
         y = self.reduce_1x1(self.conv_3x3(self.expand_1x1(x, **cd), **cd), **cd)
-        return x + y if self.use_residual else y
+        if not self.use_residual:
+            return y
+        # sub-bf16 storage (ConvBNAct.store): add in the compute dtype, then
+        # re-store the block output at the same width as its inputs
+        out = x.astype(compute_dtype) + y.astype(compute_dtype)
+        return out.astype(y.dtype) if y.dtype != out.dtype else out
 
 
 @jax.tree_util.register_dataclass
@@ -202,7 +211,14 @@ class MobileViTBlockParams:
             t = layer_norm(t, self.ln_gamma, self.ln_beta, eps=self.eps)
             f = fold(t, self.patch_size, h, w)
             f = self.conv_projection(f, **cd)
-        return self.fusion(jnp.concatenate([residual, f], axis=-1), **cd)
+        # residual may be sub-bf16-stored (ConvBNAct.store); concat in the
+        # compute dtype
+        return self.fusion(
+            jnp.concatenate(
+                [residual.astype(compute_dtype), f.astype(compute_dtype)], axis=-1
+            ),
+            **cd,
+        )
 
 
 @jax.tree_util.register_dataclass
@@ -462,6 +478,7 @@ def from_named_tensors(
     fused_ir: bool = False,
     flash_attn: Optional[bool] = None,
     fused_layer: Optional[bool] = None,
+    act_storage: Optional[str] = None,
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
@@ -483,6 +500,11 @@ def from_named_tensors(
     backends (measured 1.05-1.08x over the flash path at B=8..512, never
     slower); attention falls back to ``flash_attn``'s route under f32
     compute or when the kernel declines a shape.
+
+    ``act_storage`` ('f8_e5m2' / 'f8_e4m3' / 'bfloat16') materializes the
+    conv-stage boundary activations below bf16 (see _stamp_act_storage) —
+    measured 1.4x on the HBM-bound conv fraction at f8_e5m2 for a bounded
+    accuracy cost; None (default) keeps activations at the compute dtype.
 
     The root name prefix is auto-detected: TFMobileViTModel exports under
     ``tf_mobile_vi_t_model/mobilevit/...`` (the reference's converter) while
@@ -547,7 +569,69 @@ def from_named_tensors(
         params.classifier_bias = jnp.asarray(tm.get(cls_key.replace("kernel", "bias")))
     if strict and tm.unused():
         raise ValueError(f"unused weights in file: {tm.unused()[:10]} ...")
+    if act_storage is not None:
+        params = _stamp_act_storage(params, act_storage)
     return params
+
+
+def _stamp_act_storage(
+    params: MobileViTParams, store: str, scope: str = "early"
+) -> MobileViTParams:
+    """Apply a sub-bf16 activation-storage policy to the conv stages.
+
+    ``scope='early'`` (default) stamps ``ConvBNAct.store`` on the
+    high-resolution stages that carry ~90% of the conv-boundary HBM traffic:
+    stem, layer_1, layer_2 inverted residuals, and layer_3's downsampler.
+    ``scope='all'`` additionally stamps the later downsamplers and each
+    block's conv_projection/fusion. Boundaries feeding the transformer
+    kernels (conv_kxk, conv_1x1) and the external f32 features
+    (conv_1x1_exp) always stay at the compute dtype — the Mosaic kernels
+    take bf16 refs and the output contract is f32.
+
+    Measured on v5e: f8_e5m2 runs the dominating inverted-residual chain
+    1.40x faster than bf16 storage standalone (tools/probe_act_storage.py —
+    the e5m2 convert is a mantissa truncation of bf16), and the full model
+    1.09x at B=128 (14.01 -> 12.81 ms); 'all' measured NO further win over
+    'early' (12.90 ms) at 1.5x the feature noise (rel RMSE 0.167 vs 0.113
+    on the trained full-size checkpoint), so 'early' is the default. The
+    accuracy cost is pinned by tests/test_act_storage.py and the Δtop-1
+    rows of tools/train_mobilevit_cls.py's report.
+    """
+    from ggml_experiments_tpu.ops.conv import _STORE_DTYPES
+
+    if store not in _STORE_DTYPES:
+        raise ValueError(f"unknown act_storage {store!r}; "
+                         f"one of {sorted(_STORE_DTYPES)}")
+    if scope not in ("early", "all"):
+        raise ValueError(f"unknown act_storage scope {scope!r}")
+    rep = dataclasses.replace
+
+    def conv(c):
+        return rep(c, store=store)
+
+    def ir(blk):
+        return rep(blk, expand_1x1=conv(blk.expand_1x1),
+                   conv_3x3=conv(blk.conv_3x3), reduce_1x1=conv(blk.reduce_1x1))
+
+    def vit(blk, down_only):
+        if down_only:
+            return rep(blk, downsampling=ir(blk.downsampling))
+        return rep(blk, downsampling=ir(blk.downsampling),
+                   conv_projection=conv(blk.conv_projection),
+                   fusion=conv(blk.fusion))
+
+    early = scope == "early"
+    out = rep(
+        params,
+        conv_stem=conv(params.conv_stem),
+        layer_1=tuple(ir(b) for b in params.layer_1),
+        layer_2=tuple(ir(b) for b in params.layer_2),
+        layer_3=vit(params.layer_3, down_only=early),
+    )
+    if not early:
+        out = rep(out, layer_4=vit(params.layer_4, down_only=False),
+                  layer_5=vit(params.layer_5, down_only=False))
+    return out
 
 
 def infer_config(

@@ -91,6 +91,7 @@ class SpaceToDepthStem:
     kernel: jax.Array  # (2, 2, 4*Cin, OC), rescattered from (3, 3, Cin, OC)
     bn: Optional[FoldedBN] = None
     activation: str = dataclasses.field(default="silu", metadata=dict(static=True))
+    store: str = dataclasses.field(default="none", metadata=dict(static=True))
 
     def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
         b, h, w, c = x.shape
@@ -112,7 +113,7 @@ class SpaceToDepthStem:
         )
         if self.bn is not None:
             y = y * self.bn.scale.astype(y.dtype) + self.bn.bias.astype(y.dtype)
-        return get_activation(self.activation)(y)
+        return apply_store(get_activation(self.activation)(y), self.store)
 
 
 def space_to_depth_stem(stem: "ConvBNAct") -> SpaceToDepthStem:
@@ -133,7 +134,37 @@ def space_to_depth_stem(stem: "ConvBNAct") -> SpaceToDepthStem:
                     if 0 <= di < 3 and 0 <= dj < 3:
                         ch = (a * 2 + bq) * cin
                         k2 = k2.at[p, q, ch : ch + cin].set(k[di, dj])
-    return SpaceToDepthStem(kernel=k2, bn=stem.bn, activation=stem.activation)
+    return SpaceToDepthStem(kernel=k2, bn=stem.bn, activation=stem.activation,
+                            store=stem.store)
+
+
+# Activation *storage* dtypes (distinct from compute dtype): the conv stages
+# of batched MobileViT inference are bound by the bytes of the materialized
+# boundary activations, not FLOPs. Storing boundaries below bf16 halves those
+# bytes; the consumer casts back to the compute dtype inside its own fusion.
+# Measured on v5e (tools/probe_act_storage.py, layer_2 inverted-residual
+# chain, B=128): f8_e5m2 1.40x over bf16 (e5m2 is bf16 with the mantissa
+# truncated to 2 bits — the convert is close to free), int8 1.15x, f8_e4m3
+# 1.02x (its convert lowers poorly). e5m2 keeps bf16's exponent range, so
+# no scaling is needed; the cost is activation rounding noise (measured in
+# tests/test_act_storage.py and the eval CLI).
+_STORE_DTYPES = {
+    "none": None,
+    "bfloat16": jnp.bfloat16,
+    "f8_e5m2": jnp.float8_e5m2,
+    "f8_e4m3": jnp.float8_e4m3fn,
+}
+
+
+def apply_store(y: jax.Array, store: str) -> jax.Array:
+    """Materialize ``y`` at the storage dtype. f32 activations are left
+    alone — the f32 compute path is the numerics/parity oracle, and storage
+    policies only apply to the bf16 fast path (same gating convention as the
+    fused kernel routes)."""
+    dt = _STORE_DTYPES[store]
+    if dt is None or y.dtype in (dt, jnp.float32):
+        return y
+    return y.astype(dt)
 
 
 @jax.tree_util.register_dataclass
@@ -143,7 +174,8 @@ class ConvBNAct:
 
     Mirrors ``mobilevit_conv_layer`` (/root/reference/mobilevit/main.cpp:56-73)
     but with BN pre-folded to scale/bias at load. ``activation`` is static
-    pytree metadata so the module jits cleanly.
+    pytree metadata so the module jits cleanly. ``store`` picks the dtype the
+    output activation materializes as in HBM (see _STORE_DTYPES above).
     """
 
     kernel: jax.Array  # (KH, KW, Cin//groups, Cout)
@@ -152,6 +184,7 @@ class ConvBNAct:
     stride: int = dataclasses.field(default=1, metadata=dict(static=True))
     depthwise: bool = dataclasses.field(default=False, metadata=dict(static=True))
     dilation: int = dataclasses.field(default=1, metadata=dict(static=True))
+    store: str = dataclasses.field(default="none", metadata=dict(static=True))
 
     def __call__(self, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
         if self.depthwise:
@@ -166,4 +199,4 @@ class ConvBNAct:
             )
         if self.bn is not None:
             y = y * self.bn.scale.astype(y.dtype) + self.bn.bias.astype(y.dtype)
-        return get_activation(self.activation)(y)
+        return apply_store(get_activation(self.activation)(y), self.store)

@@ -35,12 +35,13 @@ TINY_CLS_CONFIG = MobileViTConfig(
     image_size=64,
     hidden_sizes=(24, 32, 40),
     neck_hidden_sizes=(8, 16, 24, 32, 40, 48, 96),
-    num_labels=10,
+    num_labels=16,
 )
 CLS_SEED = 11          # random_named_tensors init seed
-NUM_CLASSES = 10
+NUM_CLASSES = 16
 TRAIN_SEED = 123       # committed dataset split seeds
 HELDOUT_SEED = 456
+TASK_REV = 2           # rev 2: non-degenerate (VERDICT r2 #4) — see below
 
 
 def make_dataset(
@@ -48,9 +49,13 @@ def make_dataset(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic labeled images: (n, S, S, 3) float32 in [0, 1], (n,) int32.
 
-    Class c sets grating orientation (pi*c/K), spatial frequency and RGB
-    gains; each sample adds its own phase and Gaussian pixel noise, so the
-    task is non-trivial but cleanly learnable.
+    Task rev 2 (VERDICT r2 #4: rev 1 saturated at 100% top-1 for f32, Q8_0
+    AND Q4_0, making Δtop-1 = 0 uninformative). Orientation is the only
+    class cue, now at 16 half-spaced angles (5.6 deg steps); spatial
+    frequency and contrast vary per sample (distractors a classifier must
+    marginalize out), under heavy pixel noise. Full-precision accuracy is
+    deliberately below ceiling so quantization has something to break —
+    Δtop-1 becomes a live contract number.
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
@@ -58,16 +63,13 @@ def make_dataset(
     labels = (np.arange(n) % num_classes).astype(np.int32)
     for i in range(n):
         c = int(labels[i])
-        # orientation is the ONLY class cue, at half-spaced angles, under
-        # heavy pixel noise — forces fine decision boundaries so the
-        # quantization Δ numbers are non-trivial (a color/frequency-cued
-        # variant saturated at 100.0% top-1 for f32/Q8/Q4 alike)
         theta = np.pi * (c + 1) / (2 * num_classes)
-        freq = 6.0
+        freq = rng.uniform(4.5, 7.5)     # distractor: frequency never cues class
+        amp = rng.uniform(0.12, 0.28)    # distractor: contrast varies per sample
         phase = rng.uniform(0, 2 * np.pi)
         wave = np.sin(2 * np.pi * freq * (xx * np.cos(theta) + yy * np.sin(theta)) + phase)
-        img = 0.5 + 0.25 * np.repeat(wave[..., None], 3, axis=-1)
-        img += rng.normal(0.0, 0.45, img.shape).astype(np.float32)
+        img = 0.5 + amp * np.repeat(wave[..., None], 3, axis=-1)
+        img += rng.normal(0.0, 0.5, img.shape).astype(np.float32)
         images[i] = np.clip(img, 0.0, 1.0)
     return images, labels
 
