@@ -251,14 +251,21 @@ def main():
         # transformer-path ladder: xla-attn < flash attention < whole-layer
         # fused kernel (ops/fused_transformer_layer, 1.05-1.08x over flash
         # across batches); the headline q8_0 rows run the fused layer.
+        # "+f8" = f8_e5m2 activation storage for the early conv stages
+        # (models/mobilevit._stamp_act_storage, VERDICT r2 #3): the conv
+        # stages are activation-bandwidth-bound, so storing their boundary
+        # activations at 1 byte instead of 2 is a measured ~1.09x at B=128.
         for qt, attn, batches_ in (
-            (("q8_0", "fused-layer", (32, 128, 512)), ("q8_0", "flash", (128,)),
-             ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer", (128,)))
+            (("q8_0", "fused-layer+f8", (32, 128, 512)),
+             ("q8_0", "fused-layer", (128,)), ("q8_0", "flash", (128,)),
+             ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer+f8", (128,)))
             if on_tpu else (("q8_0", "xla-attn", (2,)),)
         ):
             mv = from_named_tensors(
                 named, mv_cfg, qtype=qt,
-                flash_attn=(attn == "flash"), fused_layer=(attn == "fused-layer"),
+                flash_attn=(attn == "flash"),
+                fused_layer=attn.startswith("fused-layer"),
+                act_storage="f8_e5m2" if attn.endswith("+f8") else None,
             )
             for mb in batches_:
                 images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))

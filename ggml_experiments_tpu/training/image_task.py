@@ -35,41 +35,58 @@ TINY_CLS_CONFIG = MobileViTConfig(
     image_size=64,
     hidden_sizes=(24, 32, 40),
     neck_hidden_sizes=(8, 16, 24, 32, 40, 48, 96),
-    num_labels=16,
+    num_labels=44,  # = NUM_CLASSES (defined below; dataclass default here)
 )
 CLS_SEED = 11          # random_named_tensors init seed
-NUM_CLASSES = 16
+NUM_CLASSES = 44       # 2.05-degree angular spacing: the graceful-difficulty
+                       # knob (noise is a cliff; see TASK_REV note)
 TRAIN_SEED = 123       # committed dataset split seeds
 HELDOUT_SEED = 456
-TASK_REV = 2           # rev 2: non-degenerate (VERDICT r2 #4) — see below
+TASK_REV = 3           # rev 3: non-degenerate AND learnable (VERDICT r2 #4)
+NOISE_SIGMA = 0.35     # measured (tools/sweep_image_task.py): sigma is a
+                       # CLIFF, not a dial — 16 classes hit 99.3% at 0.46 and
+                       # chance at 0.5. Angular spacing degrades gracefully:
+                       # at sigma 0.35 / 1200 steps, 40 classes -> 99.8%,
+                       # 44 -> 93.0%, 48 -> 97.5% (non-monotone train noise).
+                       # 44 classes lands full-precision top-1 in the 85-95%
+                       # band the Delta-top-1 contract needs.
 
 
 def make_dataset(
-    n: int, *, seed: int, image_size: int = 64, num_classes: int = NUM_CLASSES
+    n: int, *, seed: int, image_size: int = 64, num_classes: int = NUM_CLASSES,
+    noise: float = NOISE_SIGMA,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic labeled images: (n, S, S, 3) float32 in [0, 1], (n,) int32.
 
-    Task rev 2 (VERDICT r2 #4: rev 1 saturated at 100% top-1 for f32, Q8_0
-    AND Q4_0, making Δtop-1 = 0 uninformative). Orientation is the only
-    class cue, now at 16 half-spaced angles (5.6 deg steps); spatial
+    Task rev 3 (VERDICT r2 #4: rev 1 saturated at 100% top-1 for f32, Q8_0
+    AND Q4_0, making Δtop-1 = 0 uninformative; rev 2's sigma=0.5 noise was
+    UNLEARNABLE — train loss 0.09 with held-out at chance). Orientation is
+    the only class cue, at 16 half-spaced angles (5.6 deg steps); spatial
     frequency and contrast vary per sample (distractors a classifier must
-    marginalize out), under heavy pixel noise. Full-precision accuracy is
-    deliberately below ceiling so quantization has something to break —
-    Δtop-1 becomes a live contract number.
+    marginalize out), under pixel noise tuned so full-precision accuracy
+    sits deliberately below ceiling — quantization has something to break
+    and Δtop-1 is a live contract number.
     """
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
     images = np.empty((n, image_size, image_size, 3), np.float32)
     labels = (np.arange(n) % num_classes).astype(np.int32)
+    # resolution-normalized difficulty: a grating at S px has (S/64)^2 more
+    # pixels for the same iid noise, so its matched-filter SNR grows as S/64
+    # — at 256px the 64px-tuned task saturates back to 100% (measured).
+    # Scaling amplitude by 64/S holds the aggregate SNR constant across
+    # resolutions (amplitude, not sigma: it avoids the [0,1]-clip
+    # nonlinearity that heavy additive noise would introduce).
+    amp_scale = 64.0 / image_size
     for i in range(n):
         c = int(labels[i])
         theta = np.pi * (c + 1) / (2 * num_classes)
         freq = rng.uniform(4.5, 7.5)     # distractor: frequency never cues class
-        amp = rng.uniform(0.12, 0.28)    # distractor: contrast varies per sample
+        amp = rng.uniform(0.12, 0.28) * amp_scale  # distractor: contrast varies
         phase = rng.uniform(0, 2 * np.pi)
         wave = np.sin(2 * np.pi * freq * (xx * np.cos(theta) + yy * np.sin(theta)) + phase)
         img = 0.5 + amp * np.repeat(wave[..., None], 3, axis=-1)
-        img += rng.normal(0.0, 0.5, img.shape).astype(np.float32)
+        img += rng.normal(0.0, noise, img.shape).astype(np.float32)
         images[i] = np.clip(img, 0.0, 1.0)
     return images, labels
 

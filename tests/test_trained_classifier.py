@@ -1,16 +1,28 @@
-"""Quantization Δ contract on the TRAINED vision model.
+"""Quantization Δ contract on the TRAINED vision model — non-degenerate.
 
-Round-1 verdict: the MobileViT Δtop-1 numbers were only ever measured on
-untrained random nets. This pins the contract on `checkpoints/
-mobilevit_synth.ggml` — the tiny MobileViT trained to convergence in-repo
-on the deterministic grating task (tools/train_mobilevit_cls.py), shipped
-in the reference weight.ggml format:
+Round-1 measured Δtop-1 on untrained random nets; round-2's trained task
+saturated at 100% top-1 for f32 AND Q4_0, so Δtop-1 = 0 was uninformative
+(VERDICT r2 #4). Task rev 3 (training/image_task.py: 44 orientation classes
+at 2.05-degree spacing, sigma 0.35 noise, per-sample frequency/contrast
+distractors) puts the trained model deliberately below ceiling, so
+quantization moves a real decision boundary.
 
-* held-out top-1 is perfect in fp32 AND under Q8_0/Q4_0 (Δtop-1 = 0.0%,
-  contract <= 0.1%, BASELINE.md),
-* logit fidelity is the discriminating metric at saturated top-1:
-  Q8_0 rel RMSE ~0.25%, Q4_0 ~4.6% (recorded 2026-08-18, TPU; thresholds
-  hold margin for CPU/TPU numeric drift).
+`checkpoints/mobilevit_synth.ggml`, 500 held-out images, TPU
+(tools/train_mobilevit_cls.py, recorded 2026-08-19):
+
+| qtype | top-1 | Δtop-1 | agreement | rel logit RMSE |
+|---|---|---|---|---|
+| f32  | 93.0% | —      | —     | —      |
+| q8_0 | 93.0% | 0.0%   | 100%  | 0.0031 |
+| q5_1 | 91.6% | 1.4%   | 98.2% | 0.019  |
+| q5_0 | 91.2% | 1.8%   | 97.8% | 0.024  |
+| q4_1 | 91.2% | 1.8%   | 95.8% | 0.041  |
+| q4_0 | 88.4% | 4.6%   | 93.0% | 0.045  |
+
+Q8_0 meets the BASELINE.md contract (Δtop-1 <= 0.1%) with accuracy below
+99%, and the sub-byte formats now degrade monotonically with bit width —
+the contract is live, not saturated. The tests below assert on a 120-image
+slice (CPU CI) with margins for the smaller sample + CPU/TPU numerics.
 """
 
 import os
@@ -60,20 +72,45 @@ def test_trained_top1_and_quantization_delta(heldout, models):
     logits = {qt: _logits(p, images) for qt, p in models.items()}
     preds = {qt: lg.argmax(-1) for qt, lg in logits.items()}
 
-    # the model is genuinely trained: perfect held-out top-1
-    assert (preds[None] == labels).mean() == 1.0
+    acc = {qt: (preds[qt] == labels).mean() for qt in preds}
+    # genuinely trained AND genuinely below ceiling (non-degenerate):
+    # the TPU-measured 500-image number is 93.0%
+    assert 0.85 <= acc[None] <= 0.985, acc
 
-    # Δtop-1 contract (BASELINE.md: <= 0.1%) on a real decision boundary
-    assert (preds["q8_0"] == preds[None]).mean() >= 0.999
-    assert (preds["q4_0"] == preds[None]).mean() >= 0.99
+    # Δtop-1 contract (BASELINE.md: <= 0.1%): Q8_0 measured Δ = 0 /
+    # agreement 100% on 500 images; allow one flip on the 120-slice
+    assert (preds["q8_0"] == preds[None]).mean() >= 0.99
+    assert acc[None] - acc["q8_0"] <= 0.009
 
-    # logit fidelity separates the bit-widths where top-1 saturates
+    # Q4_0 degrades visibly but boundedly — the informative regime
+    assert (preds["q4_0"] == preds[None]).mean() >= 0.85
+    assert acc[None] - acc["q4_0"] <= 0.10
+
+    # logit fidelity orders the bit-widths
     ref = np.sqrt(np.mean(logits[None] ** 2))
     rel8 = np.sqrt(np.mean((logits["q8_0"] - logits[None]) ** 2)) / ref
     rel4 = np.sqrt(np.mean((logits["q4_0"] - logits[None]) ** 2)) / ref
     assert rel8 < 0.02, rel8
     assert rel4 < 0.15, rel4
     assert rel8 < rel4  # more bits => closer logits
+
+
+def test_subbyte_formats_order_by_bitwidth(heldout):
+    """q4_0 <= q4_1 <= ~q5_x <= q8_0 on prediction agreement with f32 —
+    the monotone-degradation story measured on the TPU report, asserted
+    loosely (rank, not values) on the CPU slice."""
+    from ggml_experiments_tpu.models.mobilevit import load_mobilevit
+    from ggml_experiments_tpu.training.image_task import TINY_CLS_CONFIG
+
+    images, _ = heldout
+    preds = {}
+    for qt in (None, "q8_0", "q5_1", "q4_0"):
+        p = load_mobilevit(CKPT, config=TINY_CLS_CONFIG, qtype=qt,
+                           flash_attn=False, fused_layer=False)
+        preds[qt] = _logits(p, images).argmax(-1)
+    agree = {qt: (preds[qt] == preds[None]).mean() for qt in ("q8_0", "q5_1", "q4_0")}
+    assert agree["q8_0"] >= agree["q5_1"] >= agree["q4_0"], agree
+    assert agree["q4_0"] >= 0.80, agree
 
 
 def test_dataset_is_deterministic():
@@ -121,9 +158,11 @@ def test_eval_cli_reports_vision_contract(capsys):
                "--qtype", "q8_0", "--batch", "16"])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out)
-    assert rep["top1_agreement"] >= 0.999
-    assert abs(rep["dtop1"]) <= 0.001
+    # 64-image eval slice: allow one q8 flip; accuracy below ceiling
+    assert rep["top1_agreement"] >= 0.98
+    assert abs(rep["dtop1"]) <= 0.02
     assert rep["rel_rmse"] < 0.02
+    assert rep["top1_f32"] <= 0.99  # the task is non-degenerate
 
 
 FULL_CKPT = os.path.join(
@@ -136,7 +175,7 @@ FULL_CKPT = os.path.join(
 def test_full_size_trained_contract():
     """The FULL 256px architecture trained end-to-end in-repo: held-out
     top-1 and the q8 contract hold at the real model scale (small sample —
-    the 500-image report lives in the tool / checkpoints/README.md)."""
+    the 320-image report lives in the tool / checkpoints/README.md)."""
     from ggml_experiments_tpu.models.mobilevit import (
         MobileViTConfig, infer_config, load_mobilevit,
     )
@@ -158,8 +197,8 @@ def test_full_size_trained_contract():
                            flash_attn=False, fused_layer=False)
         logits[qt] = _logits(p, images)
     preds = {qt: lg.argmax(-1) for qt, lg in logits.items()}
-    assert (preds[None] == labels).mean() >= 15 / 16
-    assert (preds["q8_0"] == preds[None]).mean() == 1.0
+    assert (preds[None] == labels).mean() >= 12 / 16
+    assert (preds["q8_0"] == preds[None]).mean() >= 15 / 16
     ref = np.sqrt(np.mean(logits[None] ** 2))
     rel8 = np.sqrt(np.mean((logits["q8_0"] - logits[None]) ** 2)) / ref
     assert rel8 < 0.05, rel8

@@ -22,6 +22,9 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--steps", type=int, default=256, help="decode steps (gru)")
     ap.add_argument("--qtype", default="q8_0", choices=["q8_0", "q4_0", "none"])
+    ap.add_argument("--act-storage", default=None,
+                    choices=["f8_e5m2", "f8_e4m3", "bfloat16"],
+                    help="sub-bf16 conv activation storage (mobilevit only)")
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default=None, help="keep the raw trace here")
@@ -46,7 +49,8 @@ def main() -> int:
         from ggml_experiments_tpu.utils.image import synthetic_test_image
 
         cfg = MobileViTConfig()
-        params = from_named_tensors(random_named_tensors(cfg), cfg, qtype=qtype)
+        params = from_named_tensors(random_named_tensors(cfg), cfg, qtype=qtype,
+                                    act_storage=args.act_storage)
         images = jnp.asarray(np.stack([synthetic_test_image(cfg.image_size)] * args.batch))
         fn = jax.jit(extract_features, static_argnames=("compute_dtype",))
         rows = trace_and_report(

@@ -33,8 +33,8 @@ def main() -> int:
         load_mobilevit, random_named_tensors,
     )
     from ggml_experiments_tpu.training.image_task import (
-        CLS_SEED, HELDOUT_SEED, TINY_CLS_CONFIG, TRAIN_SEED, make_dataset,
-        train_model,
+        CLS_SEED, HELDOUT_SEED, NUM_CLASSES, TINY_CLS_CONFIG, TRAIN_SEED,
+        make_dataset, train_model,
     )
 
     from ggml_experiments_tpu.models.mobilevit import MobileViTConfig
@@ -45,12 +45,18 @@ def main() -> int:
         # lr measured: 1e-3 diverges at this depth (loss pinned at ln K),
         # 3e-4 converges. Task rev 2 (non-degenerate, VERDICT r2 #4) needs
         # more steps than the saturating rev-1 gratings did.
+        # 2000 steps: at 900 the rev-3 task leaves the full model undertrained
+        # (66.9% held-out, loss still falling); 2000 lands it in the 85-95%
+        # band the contract targets
         cfg, out, n_train, n_test, steps, batch, lr = (
-            MobileViTConfig(num_labels=16), OUT_FULL, 1600, 320, 900, 32, 3e-4,
+            MobileViTConfig(num_labels=NUM_CLASSES), OUT_FULL, 1600, 320, 2000, 32, 3e-4,
         )
     else:
+        # n_train 6400: the rev-3 task needs the larger sample to generalize
+        # (the winning sweep point — sigma 0.35 / 44 classes / 93.0% — was
+        # measured at 6400; see tools/sweep_image_task.py)
         cfg, out, n_train, n_test, steps, batch, lr = (
-            TINY_CLS_CONFIG, OUT, 3200, 500, 1200, 100, 1e-3,
+            TINY_CLS_CONFIG, OUT, 6400, 500, 1200, 100, 1e-3,
         )
     test_x, test_y = make_dataset(n_test, seed=HELDOUT_SEED, image_size=cfg.image_size)
 
@@ -70,7 +76,9 @@ def main() -> int:
 
     from ggml_experiments_tpu.models.mobilevit import classify
 
-    report = {"final_loss": loss, "task_rev": 2}
+    from ggml_experiments_tpu.training.image_task import TASK_REV
+
+    report = {"final_loss": loss, "task_rev": TASK_REV}
     preds, logits = {}, {}
     logit_fn = jax.jit(classify, static_argnames=("compute_dtype",))
 
