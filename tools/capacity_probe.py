@@ -80,7 +80,7 @@ def _full_state(params, n_slots, vocab):
         h=st.h,
         prev=jnp.asarray(rng.integers(0, vocab, n_slots), jnp.int32),
         pos=jnp.full((n_slots,), 16, jnp.int32),
-        total=jnp.full((n_slots,), 10_000, jnp.int32),  # never finishes mid-probe
+        total=jnp.full((n_slots,), 10_000_000, jnp.int32),  # never finishes mid-probe
         plen=jnp.full((n_slots,), 8, jnp.int32),
         prompt=jnp.asarray(rng.integers(0, vocab, (n_slots, 16)), jnp.int32),
         temp=st.temp,
