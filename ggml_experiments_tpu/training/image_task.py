@@ -54,7 +54,7 @@ NOISE_SIGMA = 0.35     # measured (tools/sweep_image_task.py): sigma is a
 
 def make_dataset(
     n: int, *, seed: int, image_size: int = 64, num_classes: int = NUM_CLASSES,
-    noise: float = NOISE_SIGMA,
+    noise: float = NOISE_SIGMA, amp_boost: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic labeled images: (n, S, S, 3) float32 in [0, 1], (n,) int32.
 
@@ -74,10 +74,18 @@ def make_dataset(
     # resolution-normalized difficulty: a grating at S px has (S/64)^2 more
     # pixels for the same iid noise, so its matched-filter SNR grows as S/64
     # — at 256px the 64px-tuned task saturates back to 100% (measured).
-    # Scaling amplitude by 64/S holds the aggregate SNR constant across
-    # resolutions (amplitude, not sigma: it avoids the [0,1]-clip
-    # nonlinearity that heavy additive noise would introduce).
-    amp_scale = 64.0 / image_size
+    # Scaling amplitude by 64/S holds aggregate SNR constant across
+    # resolutions, putting every image size in the same regime where the
+    # 64px model measures 93%. (Amplitude, not sigma: scaling noise up
+    # instead would hit the [0,1]-clip nonlinearity.)
+    # ``amp_boost`` is a TRAINING-ONLY curriculum knob: from-scratch SGD at
+    # 256px never escapes the chance plateau on the canonical contrast
+    # (measured: 2000 steps flat at ln 44 at 1x AND 2x canonical) but learns
+    # immediately at 4x, and a model trained at boost B adapts down to B/2 —
+    # so the trainer anneals 4x -> 2x -> 1x over the SAME images (identical
+    # rng draws; amplitude is a pure postmultiplier). Evaluation and the
+    # committed contract always use amp_boost=1.
+    amp_scale = (64.0 / image_size) * amp_boost
     for i in range(n):
         c = int(labels[i])
         theta = np.pi * (c + 1) / (2 * num_classes)

@@ -65,6 +65,22 @@ def main() -> int:
         named = random_named_tensors(cfg, seed=CLS_SEED, classifier=True)
         train_x, train_y = make_dataset(n_train, seed=TRAIN_SEED,
                                         image_size=cfg.image_size)
+        if full:
+            # contrast curriculum: from-scratch SGD at 256px is stuck at
+            # chance on the canonical contrast (2000 steps flat at ln 44 at
+            # 1x AND 2x) but breaks through at 4x, and a trained model
+            # adapts down a 2x contrast step — anneal 4x -> 2x, then finish
+            # on the canonical task (image_task.make_dataset amp_boost)
+            for phase, boost in enumerate((4.0, 2.0), 1):
+                warm_x, warm_y = make_dataset(n_train, seed=TRAIN_SEED,
+                                              image_size=cfg.image_size,
+                                              amp_boost=boost)
+                print(f"curriculum phase {phase}/3: amp_boost={boost}",
+                      file=sys.stderr, flush=True)
+                named, _ = train_model(named, warm_x, warm_y, config=cfg,
+                                       steps=steps // 2, batch=batch, lr=lr)
+            print("curriculum phase 3/3: canonical contrast", file=sys.stderr,
+                  flush=True)
         trained, loss = train_model(named, train_x, train_y, config=cfg,
                                     steps=steps, batch=batch, lr=lr)
         write_named_tensors(out, sorted(trained.items()))
