@@ -202,13 +202,18 @@ def main():
                 lambda p, l, b: fused_gru_decode(params, p, l, 512), 2048,
                 "fused-kernel large-batch", steps_=512,
                 stats_key="fused_bf16_B2048_T512")
+        except Exception as ex:
+            log(f"large-batch fused decode skipped: {type(ex).__name__}: {ex}")
+        # own try block: the scan row must land even if the fused kernel
+        # fails to compile (it pins decode()'s dispatch thresholds)
+        try:
             results["scan_bf16_B2048_T512"] = bench_decode(
                 lambda p, l, b: gen(params, p, l, total_steps=512,
                                     compute_dtype=jnp.bfloat16),
                 2048, "scan large-batch", steps_=512,
                 stats_key="scan_bf16_B2048_T512")
         except Exception as ex:
-            log(f"large-batch decode skipped: {type(ex).__name__}: {ex}")
+            log(f"large-batch scan decode skipped: {type(ex).__name__}: {ex}")
     tokens_per_s = max(results.values())
     headline_config = max(results, key=results.get)
     log(f"headline config: {headline_config}")

@@ -61,7 +61,8 @@ def make_dataset(
     Task rev 3 (VERDICT r2 #4: rev 1 saturated at 100% top-1 for f32, Q8_0
     AND Q4_0, making Δtop-1 = 0 uninformative; rev 2's sigma=0.5 noise was
     UNLEARNABLE — train loss 0.09 with held-out at chance). Orientation is
-    the only class cue, at 16 half-spaced angles (5.6 deg steps); spatial
+    the only class cue, at NUM_CLASSES=44 half-spaced angles (2.05 deg
+    steps — see the NUM_CLASSES comment for why 44); spatial
     frequency and contrast vary per sample (distractors a classifier must
     marginalize out), under pixel noise tuned so full-precision accuracy
     sits deliberately below ceiling — quantization has something to break

@@ -96,7 +96,7 @@ class _BitReader:
     marker sits, so `resync()` can jump the cursor to the next RSTn.
     """
 
-    __slots__ = ("buf", "nbits", "pos", "restarts")
+    __slots__ = ("buf", "nbits", "pos", "restarts", "_restart_idx")
 
     def __init__(self, data: bytes, start: int):
         out = bytearray()
@@ -122,6 +122,7 @@ class _BitReader:
         self.nbits = len(out) * 8
         self.pos = 0
         self.restarts = restarts
+        self._restart_idx = 0  # monotone cursor: decode only moves forward
 
     def _bit(self) -> int:
         p = self.pos
@@ -148,11 +149,16 @@ class _BitReader:
 
     def resync(self) -> None:
         """Advance to the next restart boundary after the current position."""
-        for r in self.restarts:
-            if r >= self.pos:
-                self.pos = r
-                return
-        self.pos = self.nbits
+        i = self._restart_idx
+        restarts = self.restarts
+        while i < len(restarts) and restarts[i] < self.pos:
+            i += 1
+        if i < len(restarts):
+            self.pos = restarts[i]
+            self._restart_idx = i + 1
+        else:
+            self._restart_idx = i
+            self.pos = self.nbits
 
     def decode(self, h: _Huff) -> int:
         # fast 8-bit table probe
@@ -248,6 +254,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if ns != len(comps):
+                # one-scan-per-component baseline (legal, rare): decoding
+                # only the first scan would silently zero the others' planes
+                # — refuse so load_image falls back to PIL, same policy as
+                # progressive above
+                raise ValueError(
+                    "JPEG: multi-scan (non-interleaved) baseline not "
+                    "supported natively"
+                )
             order = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s : 3 + 2 * s]

@@ -151,6 +151,26 @@ def test_jpeg_progressive_falls_back(rng):
     assert out.shape == (32, 32, 3)
 
 
+def test_jpeg_multiscan_baseline_refused(rng):
+    # one-scan-per-component baseline (SOS ns < SOF nc) must raise rather
+    # than silently decode only the first scan's plane (zeroed chroma);
+    # PIL can't encode this form, so patch a normal SOS header to claim it
+    import struct
+
+    from ggml_experiments_tpu.utils.jpeg import decode_jpeg
+
+    img = _rand_img(rng, 32, 32, smooth=True)
+    data = _jpeg_bytes(img, quality=85)
+    sos = data.index(b"\xff\xda")
+    seg = data[sos + 4 : sos + 2 + struct.unpack(">H", data[sos + 2 : sos + 4])[0]]
+    assert seg[0] == 3  # interleaved: all three components in the one scan
+    patched_seg = bytes([1]) + seg[1:3] + seg[7:10]  # Y only
+    patched = (data[:sos + 2] + struct.pack(">H", 2 + len(patched_seg))
+               + patched_seg + data[sos + 4 + len(seg):])
+    with pytest.raises(ValueError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
 def test_jpeg_truncated_raises(rng):
     img = _rand_img(rng, 24, 24)
     data = _jpeg_bytes(img, quality=90)

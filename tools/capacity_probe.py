@@ -148,6 +148,7 @@ def single(kind, qtype, n_slots):
 
 def probe(kind, qtype, n_slots, timeout=900):
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+    r = None
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", kind, qtype,
@@ -158,7 +159,8 @@ def probe(kind, qtype, n_slots, timeout=900):
     except subprocess.TimeoutExpired:
         out = {"ok": False, "error": f"worker timeout > {timeout}s"}
     except Exception:
-        out = {"ok": False, "error": (r.stderr or "no output")[-400:]}
+        stderr = r.stderr if r is not None else "worker failed to launch"
+        out = {"ok": False, "error": (stderr or "no output")[-400:]}
     log(f"  {kind} {qtype} B={n_slots}: {out}")
     return out
 
@@ -201,7 +203,6 @@ def main():
             lo = b
             b += 512
         if hi_fail is not None:
-            step = 256
             while hi_fail - lo > 128:
                 mid = (lo + hi_fail) // 2 // 128 * 128
                 if mid in results:

@@ -40,7 +40,7 @@ def main() -> int:
     from ggml_experiments_tpu.models.mobilevit import MobileViTConfig
 
     if full:
-        # the real 256px/144-192-240/2-4-3 architecture, 16-class head; the
+        # the real 256px/144-192-240/2-4-3 architecture, NUM_CLASSES head; the
         # 256px images are 16x the tiny pixels, so fewer but bigger samples.
         # lr measured: 1e-3 diverges at this depth (loss pinned at ln K),
         # 3e-4 converges. Task rev 2 (non-degenerate, VERDICT r2 #4) needs
