@@ -164,10 +164,10 @@ def main():
         lengths = jnp.full((batch,), 8, jnp.int32)
         t0 = time.perf_counter()
         st = timeit_stats(lambda: fn(prompt, lengths, batch))
-        tps = batch * steps_ / st.best
+        tps = batch * steps_ / st.headline   # rev 5: median-of-rounds
         log(f"TPU q8_0 {name} decode: batch={batch} steps={steps_} "
-            f"{st.best*1e3:.1f}ms/call -> {tps:,.0f} tokens/s/chip "
-            f"({st.best/steps_*1e6:.1f}us/step; median {st.median*1e3:.1f}ms, "
+            f"median {st.headline*1e3:.1f}ms/call -> {tps:,.0f} tokens/s/chip "
+            f"({st.headline/steps_*1e6:.1f}us/step; best {st.best*1e3:.1f}ms, "
             f"spread {st.spread:.2f}x/{st.rounds_run}r; "
             f"incl. compile {time.perf_counter()-t0:.0f}s)")
         if stats_key:
@@ -214,9 +214,45 @@ def main():
                 stats_key="scan_bf16_B2048_T512")
         except Exception as ex:
             log(f"large-batch scan decode skipped: {type(ex).__name__}: {ex}")
+        # B=3584 is the measured VMEM ceiling for the q8_0 offline kernel
+        # (B=3712 fails kernel compile; tools/capacity_probe.py sweeps the
+        # serving tick's twin boundary) — the capacity sweep saw 24.06M tok/s
+        # here (VERDICT r3 #7)
+        try:
+            results["fused_bf16_B3584_T512"] = bench_decode(
+                lambda p, l, b: fused_gru_decode(params, p, l, 512), 3584,
+                "fused-kernel max-batch", steps_=512,
+                stats_key="fused_bf16_B3584_T512")
+        except Exception as ex:
+            log(f"max-batch fused decode skipped: {type(ex).__name__}: {ex}")
     tokens_per_s = max(results.values())
     headline_config = max(results, key=results.get)
     log(f"headline config: {headline_config}")
+
+    # routing/median consistency (protocol rev 5, VERDICT r3 #4): at each
+    # shape measured on both paths, the path decode() routes to must also
+    # win on the MEDIAN — a routing table justified only by best-of-rounds
+    # is the drift failure mode PERF.md round 3 documented.
+    def _median_ms(key):
+        d = results_stats.get(key)
+        return d["median_ms"] if d else None
+
+    routing_check = {}
+    for shape, routed, scan_key, fused_key in (
+        ("B1024_T256", "scan", "scan_bf16", "fused_bf16"),
+        ("B2048_T512", "fused", "scan_bf16_B2048_T512", "fused_bf16_B2048_T512"),
+    ):
+        ms, mf = _median_ms(scan_key), _median_ms(fused_key)
+        if ms is None or mf is None:
+            continue
+        ok = (ms <= mf) if routed == "scan" else (mf <= ms)
+        routing_check[shape] = {
+            "routed": routed, "median_consistent": ok,
+            "scan_median_ms": ms, "fused_median_ms": mf,
+        }
+        if not ok:
+            log(f"WARNING: decode() routes {routed} at {shape} but the "
+                f"median favours the other path (scan {ms}ms vs fused {mf}ms)")
 
     # q4_0 on the persistent kernel (VERDICT r1 item 6). Same per-step loop
     # as q8_0 after the one-time in-VMEM nibble unpack, so throughput matches
@@ -347,8 +383,11 @@ def main():
         "vs_baseline": round(tokens_per_s / baseline, 2),
         "vs_baseline_matched_batch": round(tokens_per_s / baseline_matched, 2),
         "headline_config": headline_config,
+        "aggregate": "median-of-rounds (protocol rev 5; configs values are "
+                     "medians, best_ms in configs_dispersion)",
         "configs": {k: round(v, 1) for k, v in results.items()},
         "configs_dispersion": results_stats,
+        "routing_median_check": routing_check,
         "dispatch_thresholds": "decode() routes fused iff B >= 2048 and "
                                "T >= 256 (re-derived round 3)",
         "protocol": PROTOCOL,

@@ -17,6 +17,15 @@ spread exceeds ``drift_spread`` re-runs extra rounds (up to
 ``max_extra_rounds``) — so a contaminated round is visible in the recorded
 artifact (spread >> 1) instead of silently poisoning the best-of aggregate.
 
+Why median headline (rev 5): with confirmed 2-10x platform spread across
+rounds, *best*-of-rounds is the statistic most flattered by drift — round 3
+recorded a config whose best beat the alternative path while its median lost
+to it (PERF.md fused B=1024). The headline aggregate is now the
+median-of-rounds (robust to a contaminated round in either direction); the
+best is kept as an auxiliary column, and routing decisions (decode()'s
+fused/scan thresholds, the engine's tick choice) are validated against
+medians (VERDICT r3 #4).
+
 The protocol constants live in :data:`PROTOCOL` and are emitted into
 bench.py's JSON line, so every recorded BENCH_r{N} declares the method it
 was measured with.
@@ -43,13 +52,17 @@ import jax.numpy as jnp
 # rev 4: dispersion-aware. Median + spread recorded next to the best; spread
 # > 1.5 across rounds triggers up to 4 extra rounds so drift is measured,
 # not guessed (VERDICT r2 weak #2).
+#
+# rev 5: median-of-rounds IS the headline aggregate (best kept as auxiliary)
+# — drift-robust under the platform's confirmed 2-10x round spread
+# (VERDICT r3 #4).
 PROTOCOL = {
-    "rev": 4,
+    "rev": 5,
     "warmup_calls": 2,
     "reps_per_round": 24,
     "rounds": 4,
-    "aggregate": "best-of-rounds (median+spread recorded; spread > 1.5 "
-                 "adds up to 4 extra rounds)",
+    "aggregate": "median-of-rounds (best+spread recorded as auxiliary; "
+                 "spread > 1.5 adds up to 4 extra rounds)",
     "drift_spread": 1.5,
     "max_extra_rounds": 4,
     "completion": "scalar jnp.sum host read (pipelined; block_until_ready "
@@ -65,6 +78,11 @@ class TimingStats:
     median: float
     worst: float
     rounds_run: int
+
+    @property
+    def headline(self) -> float:
+        """The protocol's headline aggregate (rev 5: median-of-rounds)."""
+        return self.median
 
     @property
     def spread(self) -> float:
@@ -122,5 +140,6 @@ def timeit_pipelined(
     rounds: int = PROTOCOL["rounds"],
     warmup: int = PROTOCOL["warmup_calls"],
 ) -> float:
-    """Best seconds per call (the rev <= 3 scalar interface)."""
-    return timeit_stats(fn, reps=reps, rounds=rounds, warmup=warmup).best
+    """Headline seconds per call (rev 5: median-of-rounds) — the scalar
+    interface for callers that don't need the full :class:`TimingStats`."""
+    return timeit_stats(fn, reps=reps, rounds=rounds, warmup=warmup).headline

@@ -254,6 +254,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF (corrupt stream)")
             if ns != len(comps):
                 # one-scan-per-component baseline (legal, rare): decoding
                 # only the first scan would silently zero the others' planes

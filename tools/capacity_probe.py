@@ -137,10 +137,11 @@ def single(kind, qtype, n_slots):
         return toks
 
     st = timeit_stats(run, reps=REPS)
-    step_us = st.best / INNER * 1e6
+    step_us = st.headline / INNER * 1e6   # rev 5: median-of-rounds
     print(json.dumps({
         "ok": True, "step_us": round(step_us, 2),
-        "tokens_per_s": round(n_slots * INNER / st.best, 0),
+        "tokens_per_s": round(n_slots * INNER / st.headline, 0),
+        "best_ms": round(st.best * 1e3, 3),
         "median_ms": round(st.median * 1e3, 3), "spread": round(st.spread, 3),
     }))
     return 0
