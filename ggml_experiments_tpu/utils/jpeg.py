@@ -1,25 +1,31 @@
-"""Dependency-free baseline JPEG decoder -> u8 RGB (H, W, 3).
+"""Dependency-free JPEG decoder (baseline + progressive) -> u8 RGB (H, W, 3).
 
 The last stb_image capability gap (the reference's image path is a ``.JPG``,
 /root/reference/mobilevit/main.cpp:671, loaded through the vendored
-stb_image.h): a baseline sequential-DCT JFIF decoder with nothing but numpy.
+stb_image.h): a DCT JFIF decoder with nothing but numpy.
 
 Scope (what stb_image's JPEG path covers for the reference's use):
-* Baseline sequential Huffman (SOF0; SOF1 accepted — same decode path).
+* Baseline sequential Huffman (SOF0; SOF1 accepted — same decode path),
+  interleaved or one-scan-per-component (non-interleaved).
+* Progressive (SOF2): spectral selection + successive approximation, DC
+  first/refinement scans (interleaved or not) and per-component AC scans
+  with EOB-run coding (ITU T.81 G.2), multiple scans accumulated into one
+  coefficient store and reconstructed once at EOI.
 * 1-component grayscale and 3-component YCbCr, any sampling factors up to
   4x4 (covers 4:4:4 / 4:2:2 / 4:2:0).
-* Restart intervals (DRI / RSTn).
+* Restart intervals (DRI / RSTn), in every scan kind.
 * Triangle-filter ("fancy") chroma upsampling like libjpeg/stb, so output
   tracks the common decoders closely, not just blockily.
 
-Not supported (falls back to PIL via utils.image.load_image): progressive
-(SOF2), arithmetic coding, 12-bit, CMYK/4-component.
+Not supported (falls back to PIL via utils.image.load_image): arithmetic
+coding, hierarchical/lossless SOFs, 12-bit, CMYK/4-component.
 
 Design: the entropy decode is inherently bit-serial, so it runs as one
-python/numpy pass collecting per-block coefficient arrays; everything after
-(dequant, zigzag, IDCT, upsample, color convert) is batched numpy over all
-blocks at once. The IDCT is the exact separable float transform (orthonormal
-DCT-III as two 8x8 matmuls over the whole block batch).
+python/numpy pass per scan accumulating per-block coefficient arrays
+(zigzag order); everything after (dequant, un-zigzag, IDCT, upsample, color
+convert) is batched numpy over all blocks at once. The IDCT is the exact
+separable float transform (orthonormal DCT-III as two 8x8 matmuls over the
+whole block batch).
 """
 
 from __future__ import annotations
@@ -96,7 +102,7 @@ class _BitReader:
     marker sits, so `resync()` can jump the cursor to the next RSTn.
     """
 
-    __slots__ = ("buf", "nbits", "pos", "restarts", "_restart_idx")
+    __slots__ = ("buf", "nbits", "pos", "restarts", "_restart_idx", "end")
 
     def __init__(self, data: bytes, start: int):
         out = bytearray()
@@ -123,6 +129,7 @@ class _BitReader:
         self.pos = 0
         self.restarts = restarts
         self._restart_idx = 0  # monotone cursor: decode only moves forward
+        self.end = i  # raw-data offset of the marker that ended the scan
 
     def _bit(self) -> int:
         p = self.pos
@@ -199,7 +206,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     ac_tables: dict[int, _Huff] = {}
     comps: list[_Component] = []
     width = height = None
+    hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
+    progressive = False
+    seen_scan = False
     pos = 2
     n = len(data)
 
@@ -236,7 +246,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = np.frombuffer(seg[i + 17 : i + 17 + nv], np.uint8).astype(np.int32)
                 (dc_tables if tc == 0 else ac_tables)[th] = _Huff(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, height, width, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("JPEG: only 8-bit precision supported")
@@ -246,8 +257,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq_ = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq_))
-        elif marker == 0xC2:
-            raise ValueError("JPEG: progressive not supported natively")
+            # coefficient store, shared by every scan (MCU-padded dims)
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcux = -(-width // (8 * hmax))
+            mcuy = -(-height // (8 * vmax))
+            for c in comps:
+                c.bw = mcux * c.h  # blocks per row (padded to whole MCUs)
+                c.bh = mcuy * c.v
+                c.blocks = np.zeros((c.bh * c.bw, 64), np.int32)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("JPEG: non-baseline SOF not supported natively")
         elif marker == 0xDD:  # DRI
@@ -256,78 +274,196 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ns = seg[0]
             if not comps:
                 raise ValueError("JPEG: SOS before SOF (corrupt stream)")
-            if ns != len(comps):
-                # one-scan-per-component baseline (legal, rare): decoding
-                # only the first scan would silently zero the others' planes
-                # — refuse so load_image falls back to PIL, same policy as
-                # progressive above
-                raise ValueError(
-                    "JPEG: multi-scan (non-interleaved) baseline not "
-                    "supported natively"
-                )
             order = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s : 3 + 2 * s]
                 comp = next(c for c in comps if c.cid == cs)
                 comp.td, comp.ta = tdta >> 4, tdta & 15
                 order.append(comp)
-            scan_start = pos
-            return _decode_scan(
-                data, scan_start, order, comps, qt, dc_tables, ac_tables,
-                width, height, restart_interval,
+            # spectral selection + successive approximation (baseline scans
+            # carry 0/63/0/0 here; force it in case of sloppy encoders)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            else:
+                ss, se, ah, al = 0, 63, 0, 0
+            br = _BitReader(data, pos)
+            _decode_scan(
+                br, order, dc_tables, ac_tables, mcux, mcuy,
+                restart_interval, progressive, ss, se, ah, al,
+                hmax, vmax, width, height,
             )
-        # else: APPn / COM / anything else — skipped
+            pos = br.end
+            seen_scan = True
+        # else: APPn / COM / DNL / anything else — skipped
 
-    raise ValueError("JPEG: no scan found")
+    if not seen_scan:
+        raise ValueError("JPEG: no scan found")
+    return _finish(comps, qt, width, height, hmax, vmax)
 
 
-def _decode_scan(data, start, order, comps, qt, dc_tables, ac_tables,
-                 width, height, restart_interval) -> np.ndarray:
-    hmax = max(c.h for c in comps)
-    vmax = max(c.v for c in comps)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    for c in comps:
-        c.bw = mcux * c.h  # blocks per row (padded to whole MCUs)
-        c.bh = mcuy * c.v
-        c.blocks = np.zeros((c.bh * c.bw, 64), np.int32)
+def _decode_scan(br, order, dc_tables, ac_tables, mcux, mcuy,
+                 restart_interval, progressive, ss, se, ah, al,
+                 hmax, vmax, width, height) -> None:
+    """Decode one entropy-coded scan into the components' coefficient store.
+
+    Handles all four progressive scan kinds (DC/AC x first/refinement,
+    T.81 G.2) plus full baseline blocks; single-component scans iterate the
+    component's own block raster (non-interleaved, A.2.2), multi-component
+    scans iterate MCUs (A.2.3).
+    """
+    for c in order:
         c.pred = 0
+    state = {"eobrun": 0}
 
-    br = _BitReader(data, start)
-    mcu_index = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                br.resync()
-                for c in comps:
-                    c.pred = 0
-            mcu_index += 1
-            for c in order:
-                dc_t, ac_t = dc_tables[c.td], ac_tables[c.ta]
-                for by in range(c.v):
-                    for bx in range(c.h):
-                        blk = c.blocks[(my * c.v + by) * c.bw + mx * c.h + bx]
-                        # DC
-                        t = br.decode(dc_t)
-                        diff = _extend(br.receive(t), t) if t else 0
-                        c.pred += diff
-                        blk[0] = c.pred
-                        # AC
-                        k = 1
-                        while k < 64:
-                            rs = br.decode(ac_t)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            blk[k] = _extend(br.receive(s), s)
-                            k += 1
+    def baseline_block(c, blk):
+        dc_t, ac_t = dc_tables[c.td], ac_tables[c.ta]
+        t = br.decode(dc_t)
+        diff = _extend(br.receive(t), t) if t else 0
+        c.pred += diff
+        blk[0] = c.pred
+        k = 1
+        while k < 64:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    break  # EOB
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG: AC index overflow")
+            blk[k] = _extend(br.receive(s), s)
+            k += 1
 
+    def decode_block(c, blk):
+        if not progressive:
+            baseline_block(c, blk)
+        elif ss == 0:  # DC scan (se must be 0)
+            if ah == 0:
+                t = br.decode(dc_tables[c.td])
+                diff = _extend(br.receive(t), t) if t else 0
+                c.pred += diff
+                blk[0] = c.pred << al
+            elif br.receive(1):  # refinement: one bit per block
+                blk[0] |= 1 << al
+        elif ah == 0:
+            state["eobrun"] = _ac_first(
+                br, blk, ss, se, al, ac_tables[c.ta], state["eobrun"])
+        else:
+            state["eobrun"] = _ac_refine(
+                br, blk, ss, se, al, ac_tables[c.ta], state["eobrun"])
+
+    def restart():
+        br.resync()
+        for c in order:
+            c.pred = 0
+        state["eobrun"] = 0
+
+    if len(order) == 1:
+        # Non-interleaved: raster over this component's true block dims
+        # (A.2.2) — NOT the MCU-padded store dims. Restart counts blocks.
+        c = order[0]
+        cw = -(-width * c.h // hmax)   # true component sample dims
+        cv = -(-height * c.v // vmax)
+        nbw = -(-cw // 8)
+        nbh = -(-cv // 8)
+        count = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                if restart_interval and count and count % restart_interval == 0:
+                    restart()
+                count += 1
+                decode_block(c, c.blocks[by * c.bw + bx])
+    else:
+        if progressive and ss != 0:
+            raise ValueError("JPEG: interleaved AC scan is illegal (G.2)")
+        mcu_index = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                    restart()
+                mcu_index += 1
+                for c in order:
+                    for by in range(c.v):
+                        for bx in range(c.h):
+                            decode_block(
+                                c,
+                                c.blocks[(my * c.v + by) * c.bw + mx * c.h + bx],
+                            )
+
+
+def _ac_first(br, blk, ss, se, al, ac_t, eobrun) -> int:
+    """First AC scan for one block (G.2.2): coefficients arrive shifted left
+    by ``al``; an EOBn symbol starts a run of ``eobrun`` all-done blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run length 2^r + extra bits
+                run = (1 << r) + (br.receive(r) if r else 0)
+                return run - 1  # this block is the run's first
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG: AC index overflow")
+        blk[k] = _extend(br.receive(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, blk, ss, se, al, ac_t, eobrun) -> int:
+    """AC refinement scan for one block (G.2.3): already-nonzero coefficients
+    receive a correction bit whenever the decode pointer crosses them; newly
+    nonzero coefficients arrive as +-1 << al."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        # correction bit for a history-nonzero coefficient at zigzag k
+        if br.receive(1) and not (blk[k] & p1):
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode(ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn — correct the rest of this block below
+                    eobrun = (1 << r) + (br.receive(r) if r else 0)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            elif s == 1:
+                val = p1 if br.receive(1) else m1
+            else:
+                raise ValueError("JPEG: bad AC refinement magnitude")
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish(comps, qt, width, height, hmax, vmax) -> np.ndarray:
     # Batched dequant + un-zigzag + IDCT per component.
     planes = []
     for c in comps:

@@ -133,42 +133,160 @@ def test_jpeg_restart_markers(rng):
                                      restart_marker_blocks=2))
 
 
-def test_jpeg_progressive_falls_back(rng):
-    from ggml_experiments_tpu.utils.jpeg import decode_jpeg
-
-    img = _rand_img(rng, 32, 32, smooth=True)
-    data = _jpeg_bytes(img, quality=85, progressive=True)
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(data)
-    # ...but the load_image entry point still decodes it via the PIL fallback
-    from ggml_experiments_tpu.utils.image import load_image
-    import tempfile, os as _os
-    with tempfile.TemporaryDirectory() as d:
-        p = _os.path.join(d, "x.jpg")
-        with open(p, "wb") as f:
-            f.write(data)
-        out = load_image(p)
-    assert out.shape == (32, 32, 3)
+@pytest.mark.parametrize("subsampling,quality", [
+    (0, 90),   # 4:4:4
+    (1, 85),   # 4:2:2
+    (2, 85),   # 4:2:0
+])
+def test_jpeg_progressive_vs_pil(rng, subsampling, quality):
+    # SOF2: DC first/refinement + per-component AC first/refinement scans
+    # with EOB runs (PIL emits the standard 10-scan script)
+    img = _rand_img(rng, 72, 88, smooth=True)
+    img[20:40, 30:60] = [250, 40, 10]
+    _assert_close_to_pil(_jpeg_bytes(img, quality=quality,
+                                     subsampling=subsampling,
+                                     progressive=True))
 
 
-def test_jpeg_multiscan_baseline_refused(rng):
-    # one-scan-per-component baseline (SOS ns < SOF nc) must raise rather
-    # than silently decode only the first scan's plane (zeroed chroma);
-    # PIL can't encode this form, so patch a normal SOS header to claim it
+def test_jpeg_progressive_gray_odd_optimized_restarts(rng):
+    gray = _rand_img(rng, 25, 31, smooth=True)[..., 0]
+    data = _jpeg_bytes(gray, quality=90, progressive=True)
+    got = image_codecs.decode(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    img = _rand_img(rng, 37, 53, smooth=True)
+    _assert_close_to_pil(_jpeg_bytes(img, quality=80, subsampling=2,
+                                     progressive=True, optimize=True))
+    _assert_close_to_pil(_jpeg_bytes(img, quality=90, subsampling=2,
+                                     progressive=True,
+                                     restart_marker_blocks=2))
+
+
+# --- minimal in-test encoder for the one legal form PIL cannot emit:
+#     baseline with one scan per component (non-interleaved, A.2.2) ---
+
+def _huff_spec():
+    """Shared canonical tables: DC cats 0-11 at 8 bits, all 162 AC symbols
+    at 9 bits (max code 161 < 511, so the all-ones code stays unused)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                              for s in range(1, 11)]
+    dc_bits = [0] * 16
+    dc_bits[7] = len(dc_syms)   # all length 8
+    ac_bits = [0] * 16
+    ac_bits[8] = len(ac_syms)   # all length 9
+    dc_codes = {s: (8, i) for i, s in enumerate(dc_syms)}
+    ac_codes = {s: (9, i) for i, s in enumerate(ac_syms)}
+    return dc_bits, dc_syms, dc_codes, ac_bits, ac_syms, ac_codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.put(0x7F, 8 - self.n)  # pad with 1s (spec B.1.1.5 style)
+        return bytes(self.out)
+
+
+def _encode_noninterleaved_baseline(img):
+    """3-component 4:4:4 baseline JPEG as THREE single-component scans."""
     import struct
 
+    h, w = img.shape[:2]
+    r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+    planes = [0.299 * r + 0.587 * g + 0.114 * b,
+              128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+              128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b]
+    from ggml_experiments_tpu.utils.jpeg import ZIGZAG, _idct_matrix
+    A = _idct_matrix()  # orthonormal: FDCT is A @ x @ A.T
+    dc_bits, dc_syms, dc_codes, ac_bits, ac_syms, ac_codes = _huff_spec()
+
+    def cat(v):
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    def mag_bits(v, t):
+        return v if v >= 0 else v + (1 << t) - 1
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    scans = []
+    for plane in planes:
+        pad = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8) - 128.0)
+        coef = np.einsum("ux,nxy,vy->nuv", A, blocks, A)
+        zz = np.round(coef.reshape(-1, 64)[:, ZIGZAG]).astype(np.int64)
+        zz = np.clip(zz, -1023, 1023)  # keep categories within the table
+        wtr = _BitWriter()
+        pred = 0
+        for blk in zz:
+            t = cat(blk[0] - pred)
+            wtr.put(*reversed(dc_codes[t]))
+            if t:
+                wtr.put(mag_bits(int(blk[0] - pred), t), t)
+            pred = int(blk[0])
+            run = 0
+            nz = np.nonzero(blk[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    wtr.put(*reversed(ac_codes[0xF0]))
+                    run -= 16
+                s = cat(v)
+                wtr.put(*reversed(ac_codes[(run << 4) | s]))
+                wtr.put(mag_bits(v, s), s)
+                run = 0
+            if last < 63:
+                wtr.put(*reversed(ac_codes[0x00]))  # EOB
+        scans.append(wtr.flush())
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))          # DQT id0, all-ones
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_syms))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms))
+    for cid, scan in zip((1, 2, 3), scans):
+        out += seg(0xDA, bytes([1, cid, 0x00, 0, 63, 0]))
+        out += scan
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_multiscan_baseline_noninterleaved(rng):
+    # one scan per component: legal baseline form PIL can't produce —
+    # encoded by the minimal in-test encoder above, PIL is the decode oracle
     from ggml_experiments_tpu.utils.jpeg import decode_jpeg
 
-    img = _rand_img(rng, 32, 32, smooth=True)
-    data = _jpeg_bytes(img, quality=85)
-    sos = data.index(b"\xff\xda")
-    seg = data[sos + 4 : sos + 2 + struct.unpack(">H", data[sos + 2 : sos + 4])[0]]
-    assert seg[0] == 3  # interleaved: all three components in the one scan
-    patched_seg = bytes([1]) + seg[1:3] + seg[7:10]  # Y only
-    patched = (data[:sos + 2] + struct.pack(">H", 2 + len(patched_seg))
-               + patched_seg + data[sos + 4 + len(seg):])
-    with pytest.raises(ValueError, match="multi-scan"):
-        decode_jpeg(patched)
+    img = _rand_img(rng, 41, 56, smooth=True)
+    data = _encode_noninterleaved_baseline(img)
+    got = decode_jpeg(data)
+    want = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert got.shape == want.shape
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+    # all-ones quant tables make the round trip near-lossless, so this also
+    # pins the encoder itself against the original pixels
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 4
 
 
 def test_jpeg_truncated_raises(rng):
