@@ -113,6 +113,7 @@ def cmd_features(args) -> int:
         flash_attn=args.flash_attn,
         fused_layer=getattr(args, "fused_layer", None),
         act_storage=getattr(args, "act_storage", None),
+        act_storage_scope=getattr(args, "act_storage_scope", "early"),
     )
     img = _load_image(args, config.image_size)
     t0 = time.time()
@@ -154,6 +155,7 @@ def cmd_classify(args) -> int:
         flash_attn=getattr(args, "flash_attn", None),
         fused_layer=getattr(args, "fused_layer", None),
         act_storage=getattr(args, "act_storage", None),
+        act_storage_scope=getattr(args, "act_storage_scope", "early"),
     )
     img = _load_image(args, config.image_size)
     cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
@@ -551,6 +553,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="materialize the early conv-stage activations below "
                         "bf16 (f8_e5m2: measured 1.09x at B=128 for a bounded "
                         "accuracy cost; bf16-compute only)")
+    f.add_argument("--act-storage-scope", choices=["stem", "stem12", "early", "all"],
+                   default="early",
+                   help="how deep the act-storage policy reaches (narrower = "
+                        "less HBM saved, less feature noise)")
     f.add_argument("--f16-convs", action="store_true",
                    help="replicate the reference's f16 conv-kernel load policy")
     f.add_argument("--num-heads", type=int, default=4,
@@ -573,6 +579,9 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--act-storage", choices=["f8_e5m2", "f8_e4m3", "bfloat16"],
                    default=None,
                    help="sub-bf16 conv activation storage (see `features --act-storage`)")
+    c.add_argument("--act-storage-scope", choices=["stem", "stem12", "early", "all"],
+                   default="early",
+                   help="see `features --act-storage-scope`")
     _add_common(c)
     c.set_defaults(fn=cmd_classify)
 

@@ -479,6 +479,7 @@ def from_named_tensors(
     flash_attn: Optional[bool] = None,
     fused_layer: Optional[bool] = None,
     act_storage: Optional[str] = None,
+    act_storage_scope: str = "early",
 ) -> MobileViTParams:
     """Assemble model params from a ``weight.ggml``-style name map.
 
@@ -570,7 +571,7 @@ def from_named_tensors(
     if strict and tm.unused():
         raise ValueError(f"unused weights in file: {tm.unused()[:10]} ...")
     if act_storage is not None:
-        params = _stamp_act_storage(params, act_storage)
+        params = _stamp_act_storage(params, act_storage, scope=act_storage_scope)
     return params
 
 
@@ -579,14 +580,21 @@ def _stamp_act_storage(
 ) -> MobileViTParams:
     """Apply a sub-bf16 activation-storage policy to the conv stages.
 
-    ``scope='early'`` (default) stamps ``ConvBNAct.store`` on the
-    high-resolution stages that carry ~90% of the conv-boundary HBM traffic:
-    stem, layer_1, layer_2 inverted residuals, and layer_3's downsampler.
-    ``scope='all'`` additionally stamps the later downsamplers and each
-    block's conv_projection/fusion. Boundaries feeding the transformer
-    kernels (conv_kxk, conv_1x1) and the external f32 features
-    (conv_1x1_exp) always stay at the compute dtype — the Mosaic kernels
-    take bf16 refs and the output contract is f32.
+    ``scope`` picks how deep the policy reaches (narrower = less HBM saved,
+    less feature noise — VERDICT r3 #3 trades these against the Δtop-1
+    contract):
+
+    * ``'stem'``: conv_stem + layer_1 only (the two highest-resolution
+      boundaries).
+    * ``'stem12'``: + layer_2's inverted residuals.
+    * ``'early'`` (default): + layer_3's downsampler — ~90% of the
+      conv-boundary HBM traffic.
+    * ``'all'``: additionally the later downsamplers and each block's
+      conv_projection/fusion.
+
+    Boundaries feeding the transformer kernels (conv_kxk, conv_1x1) and the
+    external f32 features (conv_1x1_exp) always stay at the compute dtype —
+    the Mosaic kernels take bf16 refs and the output contract is f32.
 
     Measured on v5e: f8_e5m2 runs the dominating inverted-residual chain
     1.40x faster than bf16 storage standalone (tools/probe_act_storage.py —
@@ -602,7 +610,7 @@ def _stamp_act_storage(
     if store not in _STORE_DTYPES:
         raise ValueError(f"unknown act_storage {store!r}; "
                          f"one of {sorted(_STORE_DTYPES)}")
-    if scope not in ("early", "all"):
+    if scope not in ("stem", "stem12", "early", "all"):
         raise ValueError(f"unknown act_storage scope {scope!r}")
     rep = dataclasses.replace
 
@@ -620,15 +628,18 @@ def _stamp_act_storage(
                    conv_projection=conv(blk.conv_projection),
                    fusion=conv(blk.fusion))
 
-    early = scope == "early"
     out = rep(
         params,
         conv_stem=conv(params.conv_stem),
         layer_1=tuple(ir(b) for b in params.layer_1),
-        layer_2=tuple(ir(b) for b in params.layer_2),
-        layer_3=vit(params.layer_3, down_only=early),
     )
-    if not early:
+    if scope == "stem":
+        return out
+    out = rep(out, layer_2=tuple(ir(b) for b in params.layer_2))
+    if scope == "stem12":
+        return out
+    out = rep(out, layer_3=vit(params.layer_3, down_only=scope == "early"))
+    if scope == "all":
         out = rep(out, layer_4=vit(params.layer_4, down_only=False),
                   layer_5=vit(params.layer_5, down_only=False))
     return out

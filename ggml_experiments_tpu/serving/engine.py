@@ -209,10 +209,32 @@ class EngineStats:
     wall_time_s: float = 0.0
     fetch_depth_shrinks: int = 0    # adaptive pipeline backed off (slow link)
     fetch_depth_recoveries: int = 0  # ...and later grew back
+    # per-tick wall breakdown (VERDICT r3 #5): where does end-to-end time go?
+    refill_s: float = 0.0         # host queue work: evict/install/shadow math
+    dispatch_s: float = 0.0       # tick call until the async dispatch returns
+    readback_wait_s: float = 0.0  # blocking np.asarray on the oldest fetch
+    distribute_s: float = 0.0     # handing fetched tokens to their requests
+    readback_bytes: int = 0       # payload actually synced back to the host
 
     @property
     def tokens_per_s(self) -> float:
         return self.tokens_generated / self.wall_time_s if self.wall_time_s else 0.0
+
+    def breakdown(self) -> dict:
+        """Per-phase shares of the engine wall clock + readback link rate."""
+        acc = self.refill_s + self.dispatch_s + self.readback_wait_s + self.distribute_s
+        return {
+            "wall_s": round(self.wall_time_s, 4),
+            "refill_s": round(self.refill_s, 4),
+            "dispatch_s": round(self.dispatch_s, 4),
+            "readback_wait_s": round(self.readback_wait_s, 4),
+            "distribute_s": round(self.distribute_s, 4),
+            "other_s": round(max(0.0, self.wall_time_s - acc), 4),
+            "readback_bytes": self.readback_bytes,
+            "readback_MB_per_s": round(
+                self.readback_bytes / self.readback_wait_s / 1e6, 2
+            ) if self.readback_wait_s else None,
+        }
 
 
 class DecodeEngine:
@@ -502,7 +524,10 @@ class DecodeEngine:
         toks_dev, targets = self._pending_fetch.popleft()
         t0 = time.perf_counter()
         toks = self._read_tokens(toks_dev)
-        self._adapt_fetch_depth(time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        self.stats.readback_wait_s += t1 - t0
+        self.stats.readback_bytes += toks.nbytes
+        self._adapt_fetch_depth(t1 - t0)
         for slot, req, n in targets:
             if req._canceled:
                 continue
@@ -514,6 +539,7 @@ class DecodeEngine:
                     req.on_token(t)
             if len(req._tokens) >= req.prompt_ids.size + req.max_new_tokens:
                 req._done.set()
+        self.stats.distribute_s += time.perf_counter() - t1
 
     def _adapt_fetch_depth(self, readback_s: float) -> None:
         """Back the fetch pipeline off a slow link; grow it back when clean.
@@ -613,13 +639,16 @@ class DecodeEngine:
         t0 = time.perf_counter()
         while len(self._pending_fetch) >= self.fetch_depth:
             self._flush_one()  # waits on an OLD scan -> device time lands here
+        t_refill = time.perf_counter()
         busy = self._refill()
+        self.stats.refill_s += time.perf_counter() - t_refill
         if not busy:
             self._flush_pending()
             return False
         # per-tick seed: deterministic, host-computed, identical on all hosts
         seed = np.int32((int(self._seed) * 1_000_003 + self._tick_count) & 0x7FFFFFFF)
         self._tick_count += 1
+        t_dispatch = time.perf_counter()
         if self.use_fused_tick:
             from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
 
@@ -638,6 +667,7 @@ class DecodeEngine:
             toks.copy_to_host_async()
         except Exception:  # pragma: no cover - backend without async copies
             pass
+        self.stats.dispatch_s += time.perf_counter() - t_dispatch
         # token counts are deterministic: shadow the cursor advance instead of
         # reading _valid back (it stays on device, unused by the host path)
         n_new = np.minimum(self._total - self._pos, self.inner_steps)

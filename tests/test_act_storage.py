@@ -71,6 +71,17 @@ def test_stamp_scopes(tiny_named):
     assert full.layer_5.fusion.store == "f8_e5m2"
     assert full.layer_5.conv_kxk.store == "none"
     assert full.conv_1x1_exp.store == "none"
+    # narrower scopes (VERDICT r3 #3): stem12 spares layer_3's downsampler,
+    # stem additionally spares layer_2
+    stem12 = _stamp_act_storage(base, "f8_e5m2", scope="stem12")
+    assert stem12.conv_stem.store == "f8_e5m2"
+    assert stem12.layer_2[0].expand_1x1.store == "f8_e5m2"
+    assert stem12.layer_3.downsampling.conv_3x3.store == "none"
+    stem = _stamp_act_storage(base, "f8_e5m2", scope="stem")
+    assert stem.conv_stem.store == "f8_e5m2"
+    assert stem.layer_1[0].conv_3x3.store == "f8_e5m2"
+    assert stem.layer_2[0].expand_1x1.store == "none"
+    assert stem.layer_3.downsampling.conv_3x3.store == "none"
     with pytest.raises(ValueError, match="unknown act_storage"):
         _stamp_act_storage(base, "int4")
     with pytest.raises(ValueError, match="scope"):

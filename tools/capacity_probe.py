@@ -147,9 +147,22 @@ def single(kind, qtype, n_slots):
     return 0
 
 
-def probe(kind, qtype, n_slots, timeout=900):
+def probe(kind, qtype, n_slots, timeout=1800):
+    """One (kind, qtype, B) config in a subprocess.
+
+    timeout default is 1800 s: round 3's two ">900 s wedges" (q8_0 fused
+    B=2048/B=1024) were NOT hangs — the fused tick's first remote compile at
+    B=2048 takes ~25 min through the tunnel's compile hop, after which the
+    persistent .jax_cache makes re-runs take seconds (measured round 4:
+    same config, cold 1517 s wall, warm 17 s; 89.2 us/step either way).
+    ``wall_s`` in the result records compile+measure time so compile-bound
+    configs are visible in the artifact.
+    """
+    import time
+
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     r = None
+    t0 = time.perf_counter()
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single", kind, qtype,
@@ -162,6 +175,7 @@ def probe(kind, qtype, n_slots, timeout=900):
     except Exception:
         stderr = r.stderr if r is not None else "worker failed to launch"
         out = {"ok": False, "error": (stderr or "no output")[-400:]}
+    out["wall_s"] = round(time.perf_counter() - t0, 1)
     log(f"  {kind} {qtype} B={n_slots}: {out}")
     return out
 
@@ -171,6 +185,19 @@ def weight_bytes(qtype):
 
     params, _ = _make_params(qtype)
     return sum(x.nbytes for x in jax.tree.leaves(params))
+
+
+PARTIAL_PATH = "/tmp/capacity_partial.json"
+
+
+def _save_partial(summary):
+    """Stream the summary after every probe so a killed sweep loses nothing
+    (advisor r3 finding: a parent timeout used to discard the whole run)."""
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(summary, f)
+    except OSError:
+        pass
 
 
 def main():
@@ -187,23 +214,40 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    summary = {"inner_steps": INNER, "fused": {}, "scan": {}, "weight_bytes": {}}
+    summary = {"inner_steps": INNER, "probe_timeout_s": 1800,
+               "fused": {}, "scan": {}, "routing": {}, "weight_bytes": {}}
 
-    for qt in ("q8_0", "q4_0"):
-        lo = 2048                      # known-good from BENCH_r02
-        hi_fail = None
+    # Every distinct B is a fresh ~15-25 min remote compile (cached across
+    # runs in .jax_cache), so the walk starts at each qtype's known-good
+    # point and moves in 512-slot steps, bisecting the failure boundary to
+    # 128 slots (the kernel's lane-padding quantum).
+    for qt, start in (("q8_0", 2048), ("q4_0", 3584)):
         results = {}
-        b = lo
-        # walk up in 512-slot steps until the first failure, then bisect to 128
+        b = start
+        lo, hi_fail = None, None
         while b <= 8192:
             r = probe("fused", qt, b)
             results[b] = r
+            summary["fused"][qt] = {"sweep": {str(k): v for k, v in sorted(results.items())}}
+            _save_partial(summary)
             if not r["ok"]:
                 hi_fail = b
                 break
             lo = b
             b += 512
-        if hi_fail is not None:
+        if lo is None:
+            # the start config itself failed: walk down to find any good B
+            b = start - 512
+            while b >= 512:
+                r = probe("fused", qt, b)
+                results[b] = r
+                _save_partial(summary)
+                if r["ok"]:
+                    lo = b
+                    break
+                hi_fail = b
+                b -= 512
+        if hi_fail is not None and lo is not None:
             while hi_fail - lo > 128:
                 mid = (lo + hi_fail) // 2 // 128 * 128
                 if mid in results:
@@ -214,6 +258,8 @@ def main():
                     lo = mid
                 else:
                     hi_fail = mid
+                summary["fused"][qt]["sweep"] = {str(k): v for k, v in sorted(results.items())}
+                _save_partial(summary)
         best = max((b for b, r in results.items() if r["ok"]), default=None)
         summary["fused"][qt] = {
             "max_slots": best,
@@ -221,12 +267,22 @@ def main():
             "first_fail": hi_fail,
             "sweep": {str(k): v for k, v in sorted(results.items())},
         }
+        _save_partial(summary)
 
     # scan tick: no VMEM cap; record the aggregate curve in the large-B regime
     for qt in ("q8_0", "q4_0", "q5_1"):
-        summary["scan"][qt] = {
-            str(b): probe("scan", qt, b) for b in (4096, 16384)
-        }
+        summary["scan"][qt] = {}
+        for b in (4096, 16384):
+            summary["scan"][qt][str(b)] = probe("scan", qt, b)
+            _save_partial(summary)
+
+    # engine tick routing (scan vs fused at the auto-route thresholds,
+    # engine.py n_slots >= 512): medians must justify the routing table
+    for b in (512, 1024, 2048):
+        summary["routing"][str(b)] = {}
+        for kind in ("scan", "fused"):
+            summary["routing"][str(b)][kind] = probe(kind, "q8_0", b)
+            _save_partial(summary)
 
     for qt in ("q8_0", "q5_1", "q4_0"):
         summary["weight_bytes"][qt] = weight_bytes(qt)
@@ -234,6 +290,7 @@ def main():
     cfg = GRUConfig()
     v, e, u = cfg.vocab_size, cfg.embed_dim, cfg.units
     summary["weight_bytes"]["f32"] = 4 * (v * e + e * 3 * u + u * 3 * u + 2 * 3 * u + u * v + v)
+    _save_partial(summary)
 
     print(json.dumps(summary))
     return 0

@@ -124,12 +124,18 @@ def main() -> int:
     base = load_mobilevit(out, config=cfg)
     pb = run(base, compute_dtype=jnp.bfloat16).argmax(-1)
     report["top1_bf16"] = float((pb == test_y).mean())
-    for store in ("f8_e5m2",):
-        ps = load_mobilevit(out, config=cfg, act_storage=store)
+    # scope ladder (VERDICT r3 #3): narrower stamping trades HBM savings for
+    # accuracy; 'early'-scope keys keep their original names, narrower
+    # scopes get suffixed keys
+    for store, scope in (("f8_e5m2", "early"), ("f8_e5m2", "stem12"),
+                         ("f8_e5m2", "stem")):
+        ps = load_mobilevit(out, config=cfg, act_storage=store,
+                            act_storage_scope=scope)
         pf = run(ps, compute_dtype=jnp.bfloat16).argmax(-1)
-        report[f"top1_{store}"] = float((pf == test_y).mean())
-        report[f"dtop1_{store}_vs_bf16"] = report["top1_bf16"] - report[f"top1_{store}"]
-        report[f"agreement_{store}_vs_bf16"] = float((pf == pb).mean())
+        key = store if scope == "early" else f"{store}_{scope}"
+        report[f"top1_{key}"] = float((pf == test_y).mean())
+        report[f"dtop1_{key}_vs_bf16"] = report["top1_bf16"] - report[f"top1_{key}"]
+        report[f"agreement_{key}_vs_bf16"] = float((pf == pb).mean())
     print(json.dumps(report, indent=2))
     return 0
 
