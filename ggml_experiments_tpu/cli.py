@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -28,13 +29,27 @@ def _add_common(p):
                    help="MXU compute precision (float32 = full passes)")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. cpu) before first use")
+    p.add_argument("--compile-cache", default="auto",
+                   help="persistent XLA compile-cache dir; 'auto' (default) "
+                        "uses ~/.cache/ggml_experiments_tpu/jax, 'off' "
+                        "disables. Large fused serving kernels cold-compile "
+                        "in minutes on remote-compile backends; the cache "
+                        "makes every later engine start take seconds")
 
 
 def _setup(args):
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    cache = getattr(args, "compile_cache", "auto")
+    if cache != "off":
+        if cache == "auto":
+            cache = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "ggml_experiments_tpu", "jax")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     return jnp.float32 if args.compute == "float32" else jnp.bfloat16

@@ -242,6 +242,14 @@ class DecodeEngine:
 
     Thread-safe: ``submit`` from any thread; a background worker drives the
     device. ``inner_steps`` trades scheduling latency for per-call overhead.
+
+    Cold-start note: the fused tick kernel the engine auto-routes large
+    quantized configs through (n_slots >= 512) cold-compiles in MINUTES at
+    n_slots >= 2048 on remote-compile backends (measured ~25 min at B=2048
+    through the axon hop — round 3 mistook this for a wedge). Enable JAX's
+    persistent compilation cache (the CLI does by default; see
+    cli._setup) so every later engine start reuses the compiled tick and
+    takes seconds.
     """
 
     def __init__(

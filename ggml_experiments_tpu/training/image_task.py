@@ -50,11 +50,21 @@ NOISE_SIGMA = 0.35     # measured (tools/sweep_image_task.py): sigma is a
                        # 44 -> 93.0%, 48 -> 97.5% (non-monotone train noise).
                        # 44 classes lands full-precision top-1 in the 85-95%
                        # band the Delta-top-1 contract needs.
+FULL_TASK_REV = 4      # the FULL-architecture contract task: rev 3's SNR
+                       # normalization undershoots the wider model's
+                       # extraction capacity (it re-saturated to 99.7%,
+                       # VERDICT r3 weak #2), so the full-size task lowers
+                       # the canonical contrast by FULL_AMP_FACTOR on top of
+                       # the resolution normalization. Tiny task unchanged.
+FULL_AMP_FACTOR = 0.5  # measured round 4 (tools/sweep_image_task.py
+                       # --eval-full): the rev-3-trained full model holds
+                       # 99.7% at 1.0 and degrades through ~97% at 0.5;
+                       # retrained AT 0.5 it lands in the 85-97% band.
 
 
 def make_dataset(
     n: int, *, seed: int, image_size: int = 64, num_classes: int = NUM_CLASSES,
-    noise: float = NOISE_SIGMA, amp_boost: float = 1.0,
+    noise: float = NOISE_SIGMA, amp_boost: float = 1.0, amp_factor: float = 1.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic labeled images: (n, S, S, 3) float32 in [0, 1], (n,) int32.
 
@@ -86,7 +96,10 @@ def make_dataset(
     # so the trainer anneals 4x -> 2x -> 1x over the SAME images (identical
     # rng draws; amplitude is a pure postmultiplier). Evaluation and the
     # committed contract always use amp_boost=1.
-    amp_scale = (64.0 / image_size) * amp_boost
+    # ``amp_factor`` by contrast is PART OF the task definition (the
+    # full-size contract runs at FULL_AMP_FACTOR, task rev 4): it lowers the
+    # canonical contrast itself, for training AND evaluation.
+    amp_scale = (64.0 / image_size) * amp_factor * amp_boost
     for i in range(n):
         c = int(labels[i])
         theta = np.pi * (c + 1) / (2 * num_classes)

@@ -7,6 +7,11 @@ tiny config at several noise levels and reports held-out accuracy; the
 winner becomes ``image_task.NOISE_SIGMA``.
 
     python tools/sweep_image_task.py 0.15 0.25 0.35
+
+``--eval-full F1 F2 ...`` instead EVALUATES the committed full-size
+checkpoint across canonical-contrast factors (task rev 4's
+image_task.FULL_AMP_FACTOR knob, VERDICT r3 #2): a cheap eval-only probe of
+where the 256px task stops saturating, to pick the retrain contrast.
 """
 
 import json
@@ -16,7 +21,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def eval_full() -> int:
+    if os.environ.get("GXT_CPU"):
+        # the axon sitecustomize force-selects the TPU via jax.config at
+        # interpreter start; env JAX_PLATFORMS alone is overridden. This
+        # knob lets the eval sweep run on CPU while the chip is busy.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from ggml_experiments_tpu.models.mobilevit import load_mobilevit
+    from ggml_experiments_tpu.training.image_task import (
+        HELDOUT_SEED, make_dataset, top1,
+    )
+
+    ckpt = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "checkpoints", "mobilevit_synth_full.ggml")
+    factors = [float(a) for a in sys.argv[2:]] or [1.0, 0.7, 0.5, 0.35]
+    n = int(os.environ.get("SWEEP_EVAL_N", "160"))
+    params = load_mobilevit(ckpt, flash_attn=False, fused_layer=False)
+    out = {}
+    for f in factors:
+        x, y = make_dataset(n, seed=HELDOUT_SEED, image_size=256, amp_factor=f)
+        acc = float((top1(params, x, batch=32) == y).mean())
+        out[str(f)] = acc
+        print(f"amp_factor {f}: top-1 {acc:.3f}", file=sys.stderr, flush=True)
+    print(json.dumps(out))
+    return 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--eval-full":
+        return eval_full()
     import numpy as np
 
     from ggml_experiments_tpu.models.mobilevit import random_named_tensors
