@@ -214,6 +214,7 @@ class EngineStats:
     dispatch_s: float = 0.0       # tick call until the async dispatch returns
     readback_wait_s: float = 0.0  # blocking np.asarray on the oldest fetch
     distribute_s: float = 0.0     # handing fetched tokens to their requests
+    backpressure_s: float = 0.0   # fetch_async: loop blocked on a full queue
     readback_bytes: int = 0       # payload actually synced back to the host
 
     @property
@@ -221,7 +222,11 @@ class EngineStats:
         return self.tokens_generated / self.wall_time_s if self.wall_time_s else 0.0
 
     def breakdown(self) -> dict:
-        """Per-phase shares of the engine wall clock + readback link rate."""
+        """Per-phase shares of the engine wall clock + readback link rate.
+
+        With fetch_async, readback_wait_s/distribute_s accrue on the reader
+        thread (overlapped — they are NOT part of the loop wall) and the
+        loop's only fetch cost is backpressure_s."""
         acc = self.refill_s + self.dispatch_s + self.readback_wait_s + self.distribute_s
         return {
             "wall_s": round(self.wall_time_s, 4),
@@ -229,6 +234,7 @@ class EngineStats:
             "dispatch_s": round(self.dispatch_s, 4),
             "readback_wait_s": round(self.readback_wait_s, 4),
             "distribute_s": round(self.distribute_s, 4),
+            "backpressure_s": round(self.backpressure_s, 4),
             "other_s": round(max(0.0, self.wall_time_s - acc), 4),
             "readback_bytes": self.readback_bytes,
             "readback_MB_per_s": round(
@@ -267,6 +273,7 @@ class DecodeEngine:
         seed: int = 0,
         fetch_depth: int = 2,
         fetch_stall_s: float = 5.0,
+        fetch_async: bool = False,
         max_pending: Optional[int] = None,
         use_fused_tick: Optional[bool] = None,
     ):
@@ -446,6 +453,26 @@ class DecodeEngine:
         self.fetch_stall_s = float(fetch_stall_s)
         self._fast_flushes = 0
         self._pending_fetch = deque()
+        # fetch_async=True moves the blocking np.asarray readbacks into a
+        # dedicated reader thread: the dispatch loop then never waits on the
+        # link, so per-sync round-trip LATENCY (~ms each on tunneled
+        # backends; the measured e2e wall at 1024 slots, not bandwidth)
+        # overlaps dispatching entirely. Backpressure: the loop blocks
+        # handing over a tick only when ``fetch_depth`` readbacks are
+        # already queued. The adaptive-depth heuristic only applies to the
+        # synchronous path (a parallel reader hides slow links instead of
+        # needing to back off; a genuinely wedged link still backpressures
+        # the loop after fetch_depth ticks). Token distribution (request
+        # completion, on_token callbacks) runs on the reader thread.
+        self.fetch_async = bool(fetch_async)
+        self._fetch_q: Optional["queue.Queue"] = None
+        self._fetch_thread: Optional[threading.Thread] = None
+        self._stats_lock = threading.Lock()
+        if self.fetch_async:
+            self._fetch_q = queue.Queue(maxsize=self.fetch_depth)
+            self._fetch_thread = threading.Thread(
+                target=self._fetch_loop, daemon=True)
+            self._fetch_thread.start()
 
     # -- public API ---------------------------------------------------------
     def submit(self, prompt_ids, max_new_tokens: int,
@@ -524,30 +551,54 @@ class DecodeEngine:
         """The blocking device->host readback (seam for fault injection)."""
         return np.asarray(toks_dev)
 
-    def _flush_one(self) -> None:
-        """Distribute the OLDEST deferred tick's tokens to their requests —
-        the only host<->device sync in the loop, overlapping newer scans.
+    def _deliver(self, toks_dev, targets, adapt: bool) -> None:
+        """Readback one tick's tokens and hand them to their requests.
         A request completes (``_done``) HERE, once its final tokens landed —
         never at slot eviction, which may run ticks ahead of the fetches."""
-        toks_dev, targets = self._pending_fetch.popleft()
         t0 = time.perf_counter()
         toks = self._read_tokens(toks_dev)
         t1 = time.perf_counter()
-        self.stats.readback_wait_s += t1 - t0
-        self.stats.readback_bytes += toks.nbytes
-        self._adapt_fetch_depth(t1 - t0)
+        with self._stats_lock:
+            self.stats.readback_wait_s += t1 - t0
+            self.stats.readback_bytes += toks.nbytes
+        if adapt:
+            self._adapt_fetch_depth(t1 - t0)
+        delivered = 0
         for slot, req, n in targets:
             if req._canceled:
                 continue
             new_toks = [int(t) for t in toks[slot, :n]]
             req._tokens.extend(new_toks)
-            self.stats.tokens_generated += n
+            delivered += n
             if req.on_token is not None:
                 for t in new_toks:
                     req.on_token(t)
             if len(req._tokens) >= req.prompt_ids.size + req.max_new_tokens:
                 req._done.set()
-        self.stats.distribute_s += time.perf_counter() - t1
+        with self._stats_lock:
+            self.stats.tokens_generated += delivered
+            self.stats.distribute_s += time.perf_counter() - t1
+
+    def _flush_one(self) -> None:
+        """Synchronous path: flush the OLDEST deferred tick in-loop."""
+        toks_dev, targets = self._pending_fetch.popleft()
+        self._deliver(toks_dev, targets, adapt=True)
+
+    def _fetch_loop(self) -> None:
+        """fetch_async reader: drains queued ticks' readbacks in parallel
+        with the dispatch loop (daemon thread; lives for the engine's
+        process lifetime)."""
+        while True:
+            item = self._fetch_q.get()
+            try:
+                self._deliver(*item, adapt=False)
+            except Exception as ex:  # pragma: no cover - device failure
+                self.error = ex
+                for _slot, req, _n in item[1]:
+                    req._error = ex
+                    req._done.set()
+            finally:
+                self._fetch_q.task_done()
 
     def _adapt_fetch_depth(self, readback_s: float) -> None:
         """Back the fetch pipeline off a slow link; grow it back when clean.
@@ -577,6 +628,9 @@ class DecodeEngine:
 
     def _flush_pending(self) -> None:
         """Flush every in-flight token fetch (drain / snapshot / eviction)."""
+        if self.fetch_async:
+            self._fetch_q.join()
+            return
         while self._pending_fetch:
             self._flush_one()
 
@@ -645,8 +699,9 @@ class DecodeEngine:
 
     def _tick(self) -> bool:
         t0 = time.perf_counter()
-        while len(self._pending_fetch) >= self.fetch_depth:
-            self._flush_one()  # waits on an OLD scan -> device time lands here
+        if not self.fetch_async:
+            while len(self._pending_fetch) >= self.fetch_depth:
+                self._flush_one()  # waits on an OLD scan; device time lands here
         t_refill = time.perf_counter()
         busy = self._refill()
         self.stats.refill_s += time.perf_counter() - t_refill
@@ -685,7 +740,12 @@ class DecodeEngine:
             if req is not None and n_new[i] > 0
         ]
         self._pos = np.minimum(self._pos + self.inner_steps, self._total)
-        self._pending_fetch.append((toks, targets))
+        if self.fetch_async:
+            t_bp = time.perf_counter()
+            self._fetch_q.put((toks, targets))  # blocks only at fetch_depth
+            self.stats.backpressure_s += time.perf_counter() - t_bp
+        else:
+            self._pending_fetch.append((toks, targets))
         self.stats.wall_time_s += time.perf_counter() - t0
         self.stats.device_steps += 1
         return True

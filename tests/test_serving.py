@@ -431,3 +431,32 @@ def test_fetch_depth_recovers_after_sustained_fast_flushes(params):
     # a new stall immediately backs off again
     eng._adapt_fetch_depth(1.0)
     assert eng.fetch_depth == 2 and eng.stats.fetch_depth_shrinks == 2
+
+
+def test_fetch_async_matches_offline(params):
+    """fetch_async=True (parallel reader thread) delivers the exact offline
+    tokens — through a continuous session with slot reuse, streaming
+    callbacks, and a drain mid-way."""
+    eng = DecodeEngine(params, n_slots=3, max_prompt=16, inner_steps=8,
+                       fetch_depth=4, fetch_async=True)
+    rng = np.random.default_rng(9)
+    streamed = {}
+    reqs = []
+    for i in range(14):
+        plen = int(rng.integers(1, 10))
+        prompt = rng.integers(0, CFG.vocab_size, plen).tolist()
+        new = int(rng.integers(5, 30))
+        streamed[i] = []
+        reqs.append((prompt, new,
+                     eng.submit(prompt, new,
+                                on_token=streamed[i].append)))
+        if i == 6:
+            eng.run_until_idle(timeout_s=300)  # mid-session drain
+    eng.run_until_idle(timeout_s=300)
+    for i, (prompt, new, req) in enumerate(reqs):
+        want = offline(params, prompt, len(prompt) + new)
+        np.testing.assert_array_equal(req.result(timeout=5), want)
+        np.testing.assert_array_equal(np.asarray(streamed[i], np.int32), want)
+    assert eng.stats.requests_completed == 14
+    assert eng.stats.tokens_generated == sum(len(p) + n for p, n, _ in reqs)
+    assert eng.stats.readback_bytes > 0

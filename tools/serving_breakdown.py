@@ -94,7 +94,7 @@ def device_tick_rate(params, n_slots):
     }
 
 
-def e2e_session(params, n_slots, fetch_depth):
+def e2e_session(params, n_slots, fetch_depth, fetch_async=False):
     import jax.numpy as jnp
     import numpy as np
 
@@ -103,7 +103,7 @@ def e2e_session(params, n_slots, fetch_depth):
     rng = np.random.default_rng(2)
     eng = DecodeEngine(params, n_slots=n_slots, max_prompt=16,
                        inner_steps=INNER, compute_dtype=jnp.bfloat16,
-                       fetch_depth=fetch_depth)
+                       fetch_depth=fetch_depth, fetch_async=fetch_async)
     # warm: compile + cache the tick program
     for _ in range(max(64, n_slots // 8)):
         eng.submit(rng.integers(0, 66, 8).astype(np.int32), 120)
@@ -144,14 +144,16 @@ def main():
         dev = device_tick_rate(params, n_slots)
         log(f"device tick B={n_slots}: {dev}")
         for depth in [int(d) for d in args.depths.split(",")]:
-            e2e = e2e_session(params, n_slots, depth)
-            frac = e2e["tokens_per_s"] / dev["tokens_per_s"]
-            row = {"n_slots": n_slots, "fetch_depth": depth,
-                   "device": dev, "e2e": e2e,
-                   "e2e_fraction_of_device": round(frac, 3)}
-            log(f"B={n_slots} depth={depth}: e2e {e2e['tokens_per_s']:,.0f} tok/s "
-                f"= {frac:.1%} of device; breakdown {e2e['breakdown']}")
-            report["configs"].append(row)
+            for fetch_async in (False, True):
+                e2e = e2e_session(params, n_slots, depth, fetch_async)
+                frac = e2e["tokens_per_s"] / dev["tokens_per_s"]
+                row = {"n_slots": n_slots, "fetch_depth": depth,
+                       "fetch_async": fetch_async, "device": dev, "e2e": e2e,
+                       "e2e_fraction_of_device": round(frac, 3)}
+                log(f"B={n_slots} depth={depth} async={fetch_async}: "
+                    f"e2e {e2e['tokens_per_s']:,.0f} tok/s = {frac:.1%} of "
+                    f"device; breakdown {e2e['breakdown']}")
+                report["configs"].append(row)
     print(json.dumps(report))
     return 0
 
