@@ -259,6 +259,7 @@ def cmd_serve(args) -> int:
         params, n_slots=args.slots, max_prompt=args.max_prompt,
         inner_steps=args.inner_steps, compute_dtype=compute_dtype,
         temperature=args.temperature,
+        fetch_depth=args.fetch_depth, fetch_async=args.fetch_async,
     )
     engine.start()
     if args.http is not None:
@@ -619,6 +620,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "ephemeral port)")
     s.add_argument("--host", default="127.0.0.1",
                    help="bind address for --http (default 127.0.0.1)")
+    s.add_argument("--fetch-depth", type=int, default=2,
+                   help="token readbacks allowed in flight behind the scans")
+    s.add_argument("--fetch-async", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="drain token readbacks on a parallel reader thread "
+                        "(hides per-sync link latency; see DecodeEngine)")
     _add_common(s)
     s.set_defaults(fn=cmd_serve)
 
