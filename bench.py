@@ -291,30 +291,40 @@ def main():
         # path and this bench stay on the plain XLA convs)
         # transformer-path ladder: xla-attn < flash attention < whole-layer
         # fused kernel (ops/fused_transformer_layer, 1.05-1.08x over flash
-        # across batches); the headline q8_0 rows run the fused layer.
-        # "+f8" = f8_e5m2 activation storage for the early conv stages
-        # (models/mobilevit._stamp_act_storage, VERDICT r2 #3): the conv
-        # stages are activation-bandwidth-bound, so storing their boundary
-        # activations at 1 byte instead of 2 is a measured ~1.09x at B=128.
+        # across batches). The HEADLINE img/s rows are the fused-layer
+        # config, which meets the Δtop-1 <= 0.1% accuracy contract
+        # (BASELINE.md; the bf16 route agrees with f32 on the trained
+        # contract task). "+f8" rows store the early conv-stage activations
+        # at 1 byte (f8_e5m2, _stamp_act_storage) — faster but OPT-IN and
+        # OUTSIDE the contract: measured Δtop-1 vs bf16 is ~1-2% on the
+        # trained tiny model (scope 'early'; 'stem12' halves the Δ, still
+        # ~10x budget — VERDICT r3 #3), so f8 rows are labeled, never the
+        # headline.
         for qt, attn, batches_ in (
-            (("q8_0", "fused-layer+f8", (32, 128, 512)),
-             ("q8_0", "fused-layer", (128,)), ("q8_0", "flash", (128,)),
-             ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer+f8", (128,)))
+            (("q8_0", "fused-layer", (32, 128, 512)),
+             ("q8_0", "fused-layer+f8", (128, 512)),
+             ("q8_0", "fused-layer+f8/stem12", (128,)),
+             ("q8_0", "flash", (128,)),
+             ("q8_0", "xla-attn", (128,)), ("q4_0", "fused-layer", (128,)))
             if on_tpu else (("q8_0", "xla-attn", (2,)),)
         ):
             mv = from_named_tensors(
                 named, mv_cfg, qtype=qt,
                 flash_attn=(attn == "flash"),
                 fused_layer=attn.startswith("fused-layer"),
-                act_storage="f8_e5m2" if attn.endswith("+f8") else None,
+                act_storage="f8_e5m2" if "+f8" in attn else None,
+                act_storage_scope="stem12" if attn.endswith("/stem12") else "early",
             )
+            tag = (" [opt-in, outside the Δtop-1 contract]"
+                   if "+f8" in attn else " [headline: contract-compliant]"
+                   if attn == "fused-layer" and qt == "q8_0" else "")
             for mb in batches_:
                 images = jnp.asarray(np.stack([synthetic_test_image(256)] * mb))
-                best = timeit_pipelined(
+                sec = timeit_pipelined(
                     lambda: feat_fn(mv, images, compute_dtype=jnp.bfloat16)
                 )
                 log(f"TPU {qt} MobileViT bf16 ({attn}): batch={mb} "
-                    f"{best*1e3:.1f}ms/call -> {mb/best:,.1f} images/s/chip")
+                    f"{sec*1e3:.1f}ms/call -> {mb/sec:,.1f} images/s/chip{tag}")
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
 
