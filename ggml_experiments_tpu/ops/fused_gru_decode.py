@@ -305,6 +305,7 @@ def _tick_kernel(
     compute_dtype,
     qtype: str,
     enable_sampling: bool = False,
+    tiled: bool = False,
 ):
     """One serving tick: advance every slot ``inner_steps`` tokens, resuming
     from (h, prev, pos) and honouring per-slot prompt/total cursors.
@@ -335,13 +336,28 @@ def _tick_kernel(
     w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
     if enable_sampling:
-        pltpu.prng_seed(seed_ref[0])
-    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
-    proj_bf[:] = jnp.dot(
-        emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
-    ).astype(cd)
+        # tiled: decorrelate the per-tile sample streams (same seed on every
+        # grid step would replay identical Gumbel noise across slot tiles)
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) if tiled else seed_ref[0]
+        )
+
+    def _setup_weights():
+        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        proj_bf[:] = jnp.dot(
+            emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+        ).astype(cd)
+
+    if tiled:
+        # weight scratch persists across the sequential grid: dequantize +
+        # build the projection table once, on the first slot tile only
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            _setup_weights()
+    else:
+        _setup_weights()
     h_ref[:] = h_in_ref[:]
     srow_ref[:] = srow_in_ref[:]
     scol_ref[:] = scol_in_ref[:]
@@ -406,9 +422,18 @@ def _tick_kernel(
 def _tick_call(
     *operands,
     units: int, inner_steps: int, compute_dtype, qtype: str,
-    enable_sampling: bool,
+    enable_sampling: bool, slot_tile: int = 0,
 ):
-    """The raw tick pallas_call on final-layout operands (local shapes)."""
+    """The raw tick pallas_call on final-layout operands (local shapes).
+
+    ``slot_tile`` > 0 runs the tick as a sequential grid over slot tiles of
+    that width: the weight scratch (dequantized planes + projection table)
+    persists across grid steps and is built once, while each step carries
+    only its tile's state/tokens in VMEM — so the slot count stops being
+    VMEM-bounded (the untiled kernel tops out at the capacity-probe
+    boundary) at the cost of one extra grid iteration per tile. 0 = untiled
+    (single-block, the fastest form below the boundary).
+    """
     cd = compute_dtype
     kdiv = 2 if qtype == "q4_0" else 1
     emb, wc, uc, dc = operands[0], operands[1], operands[3], operands[6]
@@ -418,18 +443,36 @@ def _tick_call(
     g = wc.shape[1]
     ku = uc.shape[0] * kdiv
     ts = _round_up(inner_steps, 8)
+    tiled = bool(slot_tile) and slot_tile < b
+    bt = slot_tile if tiled else b
+    if tiled and b % slot_tile:
+        raise ValueError(f"slot_tile {slot_tile} must divide padded slots {b}")
     kernel = functools.partial(
         _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd,
-        qtype=qtype, enable_sampling=enable_sampling,
+        qtype=qtype, enable_sampling=enable_sampling, tiled=tiled,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = [vmem] * 13
-    if enable_sampling:
-        in_specs += [vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
+    if tiled:
+        grid = (b // bt,)
+        whole = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+        colb = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i))
+        rowb = lambda cols: pl.BlockSpec((bt, cols), lambda i: (i, 0))
+        in_specs = [whole(op.shape) for op in operands[:9]]
+        in_specs += [colb(pp), colb(8), rowb(128), rowb(ku)]
+        if enable_sampling:
+            in_specs += [colb(8), pl.BlockSpec(memory_space=pltpu.SMEM)]
+        out_specs = (colb(ts), colb(8), rowb(ku))
+    else:
+        grid = ()
+        in_specs = [vmem] * 13
+        if enable_sampling:
+            in_specs += [vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        out_specs = (vmem, vmem, vmem)
     return pl.pallas_call(
         kernel,
+        grid=grid,
         in_specs=in_specs,
-        out_specs=(vmem, vmem, vmem),
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((ts, b), jnp.int32),
             jax.ShapeDtypeStruct((8, b), jnp.int32),
@@ -440,9 +483,9 @@ def _tick_call(
             pltpu.VMEM((ku, g), cd),            # u_bf
             pltpu.VMEM((ku, vp), cd),           # d_bf
             pltpu.VMEM((vp, g), cd),            # proj_bf
-            pltpu.VMEM((b, ku), jnp.float32),   # h
-            pltpu.VMEM((8, b), jnp.int32),      # srow (prev/pos/total/plen)
-            pltpu.VMEM((b, 128), jnp.int32),    # scol (pos/total, column layout)
+            pltpu.VMEM((bt, ku), jnp.float32),  # h
+            pltpu.VMEM((8, bt), jnp.int32),     # srow (prev/pos/total/plen)
+            pltpu.VMEM((bt, 128), jnp.int32),   # scol (pos/total, column layout)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -454,6 +497,25 @@ def _tick_call(
         ),
         interpret=_default_interpret(),
     )(*operands)
+
+
+# Measured VMEM boundaries of the UNTILED serving tick per qtype
+# (tools/capacity_probe.py round 4: first compile failure minus one 128-slot
+# quantum). Above this the auto policy grid-tiles the slot dim.
+FUSED_TICK_MAX_UNTILED = {"q8_0": 3584, "q4_0": 3584}
+TICK_SLOT_TILE = 2048   # preferred tile width for auto-tiled large-B ticks
+
+
+def _auto_slot_tile(bp: int, qtype: str) -> int:
+    """0 (untiled) below the measured VMEM boundary, else the widest
+    boundary-safe tile that divides the padded slot count."""
+    limit = FUSED_TICK_MAX_UNTILED.get(qtype, 2048)
+    if bp <= limit:
+        return 0
+    for tile in (TICK_SLOT_TILE, 1024, 512, 256, 128):
+        if tile <= limit and bp % tile == 0:
+            return tile
+    raise ValueError(f"no boundary-safe slot tile divides {bp}")
 
 
 def _tick_slot_axis(arg_shapes):
@@ -469,7 +531,7 @@ def _tick_slot_axis(arg_shapes):
 
 @functools.lru_cache(maxsize=None)
 def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
-                      enable_sampling):
+                      enable_sampling, slot_tile=None):
     """Slot-parallel rule for the serving tick: under a sharded jit the slot
     (batch) axis stays local per device — each device ticks only its own
     slots with replicated weights — instead of XLA gathering every operand
@@ -488,9 +550,13 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
 
     def core(*ops):
+        # tile from the LOCAL slot width (under slot-sharding each device
+        # ticks only its shard; the tile decision must match that shape)
+        b_local = ops[9].shape[1]
+        st = _auto_slot_tile(b_local, qtype) if slot_tile is None else slot_tile
         return _tick_call(
             *ops, units=units, inner_steps=inner_steps, compute_dtype=cd,
-            qtype=qtype, enable_sampling=enable_sampling,
+            qtype=qtype, enable_sampling=enable_sampling, slot_tile=st,
         )
 
     def infer(mesh, arg_shapes, result_shape):
@@ -530,30 +596,32 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
 @functools.partial(
     jax.jit,
     static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype",
-                     "enable_sampling"),
+                     "enable_sampling", "slot_tile"),
 )
 def _fused_tick_jit(
     emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
     ftemp=None, seed=None,
     *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
-    enable_sampling: bool = False,
+    enable_sampling: bool = False, slot_tile=None,
 ):
     operands = [emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h]
     if enable_sampling:
         operands += [ftemp, seed]
     return _tick_partitioned(
-        units, inner_steps, compute_dtype_name, qtype, enable_sampling
+        units, inner_steps, compute_dtype_name, qtype, enable_sampling,
+        slot_tile,
     )(*operands)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("inner_steps", "compute_dtype_name", "qtype",
-                     "enable_sampling", "mesh", "slot_axis"),
+                     "enable_sampling", "mesh", "slot_axis", "slot_tile"),
     donate_argnames=("state",),
 )
 def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name,
-                         qtype, enable_sampling, mesh=None, slot_axis=None):
+                         qtype, enable_sampling, mesh=None, slot_axis=None,
+                         slot_tile=None):
     """One-dispatch tick: weight prep + layout glue + kernel + state repack
     all inside a single jitted program (the glue is on-device-cheap; eagerly
     it would cost a tunnel dispatch per op).
@@ -599,7 +667,7 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
         units=u, inner_steps=inner_steps,
         compute_dtype_name=compute_dtype_name, qtype=qtype,
-        enable_sampling=enable_sampling, **extra,
+        enable_sampling=enable_sampling, slot_tile=slot_tile, **extra,
     )
     if mesh is not None and slot_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -622,7 +690,7 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
 
 def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16,
                     enable_sampling: bool = False, seed=0,
-                    mesh=None, slot_axis=None):
+                    mesh=None, slot_axis=None, slot_tile=None):
     """Advance the serving engine's slot state ``inner_steps`` tokens
     through the persistent kernel.
 
@@ -644,6 +712,13 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     the multi-process serving path. The padded slot count must divide the
     axis; on real TPUs each shard must keep a lane-aligned (128-multiple)
     slot width, so use n_slots >= 128 * axis_size.
+
+    ``slot_tile``: None (default) auto-tiles the kernel's slot dim once the
+    (local) slot count crosses the measured untiled VMEM boundary
+    (FUSED_TICK_MAX_UNTILED) — weights/projection-table scratch persist
+    across the sequential grid and are built once, so slot capacity is no
+    longer VMEM-bounded. 0 forces the untiled single-block kernel (compile
+    error past the boundary); an explicit int forces that tile width.
     """
     qtype = _check_quantized(params)
     if slot_axis is not None:
@@ -665,5 +740,5 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
         params, state, _np.int32(seed), inner_steps=inner_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         qtype=qtype, enable_sampling=enable_sampling,
-        mesh=mesh, slot_axis=slot_axis,
+        mesh=mesh, slot_axis=slot_axis, slot_tile=slot_tile,
     )

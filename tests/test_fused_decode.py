@@ -201,3 +201,58 @@ def test_fused_slot_tick_matches_scan_tick():
         np.testing.assert_allclose(
             np.asarray(s_scan.h), np.asarray(s_fused.h), atol=2e-5, rtol=2e-5
         )
+
+
+def test_fused_slot_tick_tiled_matches_untiled():
+    """slot_tile > 0 (grid over slot tiles, persistent weight scratch) is
+    token- and state-exact vs the untiled kernel and the scan tick."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.quant import quantize
+    from ggml_experiments_tpu.serving.engine import _slot_scan, init_state
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=64)
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(4))
+    params = gru_textgen.GRUTextGenParams(
+        embeddings=fp.embeddings,
+        cell=dataclasses.replace(
+            fp.cell,
+            kernel=quantize(np.asarray(fp.cell.kernel), "q8_0"),
+            recurrent_kernel=quantize(np.asarray(fp.cell.recurrent_kernel), "q8_0"),
+        ),
+        dense_kernel=quantize(np.asarray(fp.dense_kernel), "q8_0"),
+        dense_bias=fp.dense_bias,
+    )
+    n_slots, inner = 8, 16   # padded slot dim 128; tile 64 -> 2 grid steps
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 66, (n_slots, 8))
+    plen = rng.integers(1, 8, n_slots)
+
+    def fresh_state():   # the tick jits donate their state argument
+        return dataclasses.replace(
+            init_state(params, n_slots, max_prompt=8),
+            prompt=jnp.asarray(prompt, jnp.int32),
+            plen=jnp.asarray(plen, jnp.int32),
+            total=jnp.full((n_slots,), 40, jnp.int32),
+        )
+
+    s_un, s_ti, s_sc = fresh_state(), fresh_state(), fresh_state()
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    for tick in range(2):
+        s_un, toks_un = fused_slot_tick(params, s_un, inner,
+                                        compute_dtype=jnp.float32, slot_tile=0)
+        s_ti, toks_ti = fused_slot_tick(params, s_ti, inner,
+                                        compute_dtype=jnp.float32, slot_tile=64)
+        s_sc, toks_sc, _v = scan(params, s_sc, np.int32(tick), inner,
+                                 compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(toks_ti), np.asarray(toks_un),
+                                      err_msg=f"tick {tick}")
+        np.testing.assert_array_equal(np.asarray(toks_ti), np.asarray(toks_sc))
+        np.testing.assert_array_equal(np.asarray(s_ti.pos), np.asarray(s_un.pos))
+        np.testing.assert_allclose(np.asarray(s_ti.h), np.asarray(s_un.h),
+                                   atol=1e-6, rtol=1e-6)
