@@ -235,6 +235,12 @@ def decode(
     is exactly why the thresholds are now placed only where the win is
     large and reproducibly stable. Hence: fused iff B >= 2048 AND
     total_steps >= 256.
+
+    Upper bound (round 4): the offline kernel holds all slots' state and
+    gate intermediates in one VMEM block, so past the measured boundary
+    (B=3584 ok, B=3840 fails the Mosaic compile — same boundary the
+    capacity probe pins for the serving tick) decode() stays on the scan
+    instead of surfacing a compile error.
     """
     from ggml_experiments_tpu.quant import QTensor
 
@@ -247,7 +253,8 @@ def decode(
         and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
         and params.dense_kernel.qtype == params.cell.kernel.qtype
     )
-    if greedy and quantized and prompt_ids.shape[0] >= 2048 and total_steps >= 256:
+    if (greedy and quantized and 2048 <= prompt_ids.shape[0] <= 3584
+            and total_steps >= 256):
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 
         return fused_gru_decode(

@@ -500,9 +500,12 @@ def _tick_call(
 
 
 # Measured VMEM boundaries of the UNTILED serving tick per qtype
-# (tools/capacity_probe.py round 4: first compile failure minus one 128-slot
-# quantum). Above this the auto policy grid-tiles the slot dim.
-FUSED_TICK_MAX_UNTILED = {"q8_0": 3584, "q4_0": 3584}
+# (tools/capacity_probe.py, v5e round 4): q8_0 compiles through B=3712 and
+# fails at 3840 (remote tpu_compile_helper exit 1, ~45 s fail-fast); q4_0
+# compiles through 3584, fails at 3840/4096, and its 3712 compile ran past
+# 1800 s (near-boundary compile blowup — treated as out of bounds). Above
+# these the auto policy grid-tiles the slot dim.
+FUSED_TICK_MAX_UNTILED = {"q8_0": 3712, "q4_0": 3584}
 TICK_SLOT_TILE = 2048   # preferred tile width for auto-tiled large-B ticks
 
 

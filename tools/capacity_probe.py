@@ -107,7 +107,18 @@ def single(kind, qtype, n_slots):
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
 
         def tick(st):
-            return fused_slot_tick(params, st, INNER, compute_dtype=jnp.bfloat16)
+            # slot_tile=0 pins the UNTILED kernel: this probe measures the
+            # raw single-block VMEM boundary (auto would tile past it)
+            return fused_slot_tick(params, st, INNER, compute_dtype=jnp.bfloat16,
+                                   slot_tile=0)
+    elif kind == "tiled":
+        from ggml_experiments_tpu.ops.fused_gru_decode import (
+            TICK_SLOT_TILE, fused_slot_tick,
+        )
+
+        def tick(st):
+            return fused_slot_tick(params, st, INNER, compute_dtype=jnp.bfloat16,
+                                   slot_tile=TICK_SLOT_TILE)
     else:
         import functools
 
