@@ -87,6 +87,8 @@ def test_decode_facade_routes(qparams, monkeypatch):
         (1024, 256, False),   # high-variance tie: stay on the stable scan
         (2048, 256, True),
         (2048, 512, True),
+        (3584, 512, True),    # the measured throughput sweet spot
+        (4096, 512, False),   # past the VMEM boundary: scan, not a compile error
     ):
         calls.clear()
         p = jnp.zeros((batch, 3), jnp.int32)
