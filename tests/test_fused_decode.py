@@ -258,3 +258,18 @@ def test_fused_slot_tick_tiled_matches_untiled():
         np.testing.assert_array_equal(np.asarray(s_ti.pos), np.asarray(s_un.pos))
         np.testing.assert_allclose(np.asarray(s_ti.h), np.asarray(s_un.h),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_auto_slot_tile_policy():
+    from ggml_experiments_tpu.ops.fused_gru_decode import (
+        FUSED_TICK_MAX_UNTILED, TICK_SLOT_TILE, _auto_slot_tile,
+    )
+
+    for qt, limit in FUSED_TICK_MAX_UNTILED.items():
+        assert _auto_slot_tile(limit, qt) == 0          # at the boundary: untiled
+        assert _auto_slot_tile(128, qt) == 0
+        t = _auto_slot_tile(8192, qt)                   # past it: widest safe tile
+        assert t == TICK_SLOT_TILE and 8192 % t == 0
+        # padded counts that TICK_SLOT_TILE doesn't divide fall to a divisor
+        t2 = _auto_slot_tile(3840, qt)
+        assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
