@@ -193,8 +193,8 @@ def main():
     if on_tpu:
         # the large-slot serving configuration: throughput keeps rising past
         # B=1024 (the per-step fixed overheads amortize over more lanes);
-        # B=2048/T=512 is the measured sweet spot — B=4096 exceeds the
-        # kernel's VMEM state budget and fails to compile. The scan row at
+        # past the untiled kernel's VMEM boundary (B=3840) the kernel
+        # auto-tiles the batch dim at per-tile throughput. The scan row at
         # the same shape pins decode()'s dispatch choice (fused iff B>=2048
         # AND T>=256, models/gru_textgen.decode) inside the artifact.
         try:

@@ -236,11 +236,13 @@ def decode(
     large and reproducibly stable. Hence: fused iff B >= 2048 AND
     total_steps >= 256.
 
-    Upper bound (round 4): the offline kernel holds all slots' state and
-    gate intermediates in one VMEM block, so past the measured boundary
-    (B=3584 ok, B=3840 fails the Mosaic compile — same boundary the
-    capacity probe pins for the serving tick) decode() stays on the scan
-    instead of surfacing a compile error.
+    No upper bound (round 4): past the untiled kernel's measured VMEM
+    boundary (B=3584 ok at T=512, B=3840 fails the Mosaic compile)
+    fused_gru_decode auto-tiles the batch dim — a sequential grid over
+    batch tiles with the dequantized weight scratch persisting across grid
+    steps — so any B compiles at per-tile throughput (the tiled serving
+    tick measures 24.7M tok/s at B=8192 vs the scan's falling 11.2M at
+    B=4096 / 6.4M at B=16384; docs/STATUS.md capacity table).
     """
     from ggml_experiments_tpu.quant import QTensor
 
@@ -253,7 +255,7 @@ def decode(
         and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
         and params.dense_kernel.qtype == params.cell.kernel.qtype
     )
-    if (greedy and quantized and 2048 <= prompt_ids.shape[0] <= 3584
+    if (greedy and quantized and prompt_ids.shape[0] >= 2048
             and total_steps >= 256):
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 

@@ -113,19 +113,33 @@ def _kernel(
     total_steps: int,
     compute_dtype,
     qtype: str,
+    tiled: bool = False,
 ):
     cd = compute_dtype
-    _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-    _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-    _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
-    # Vocab-wide input-projection table, computed ONCE during VMEM setup:
-    # proj[v] = emb[v] · W. The per-step x-projection then contracts the
-    # one-hot over (Vp, G) instead of (Vp, Ke) + (Ke, G) — the same
-    # loop-invariant hoist the scan path does (gru_textgen.generate), done
-    # the in-kernel way; drops ~1.6 GFLOP/step at the reference shapes.
-    proj_bf[:] = jnp.dot(
-        emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
-    ).astype(cd)
+
+    def _setup_weights():
+        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        # Vocab-wide input-projection table, computed ONCE during VMEM setup:
+        # proj[v] = emb[v] · W. The per-step x-projection then contracts the
+        # one-hot over (Vp, G) instead of (Vp, Ke) + (Ke, G) — the same
+        # loop-invariant hoist the scan path does (gru_textgen.generate), done
+        # the in-kernel way; drops ~1.6 GFLOP/step at the reference shapes.
+        proj_bf[:] = jnp.dot(
+            emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+        ).astype(cd)
+
+    if tiled:
+        # batch-tiled: the weight scratch persists across the sequential
+        # grid over batch tiles — build it once, on the first tile (same
+        # design as the tiled serving tick below); per-tile state (h, prev)
+        # is re-zeroed every grid step since each tile decodes from scratch
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            _setup_weights()
+    else:
+        _setup_weights()
     h_ref[:] = jnp.zeros_like(h_ref)
     prev_ref[:] = jnp.zeros_like(prev_ref)
 
@@ -158,11 +172,14 @@ def _round_up(x, m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("units", "total_steps", "compute_dtype_name", "qtype")
+    jax.jit,
+    static_argnames=("units", "total_steps", "compute_dtype_name", "qtype",
+                     "batch_tile"),
 )
 def _fused_decode_jit(
     emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
     *, units: int, total_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
+    batch_tile: int = 0,
 ):
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
     kdiv = 2 if qtype == "q4_0" else 1  # q4 codes nibble-pack two K rows/row
@@ -170,14 +187,35 @@ def _fused_decode_jit(
     vp, ke = emb.shape
     g = wc.shape[1]
     ku = uc.shape[0] * kdiv  # K-padded state width (>= units)
+    tiled = bool(batch_tile) and batch_tile < b
+    bt = batch_tile if tiled else b
+    if tiled and b % batch_tile:
+        raise ValueError(f"batch_tile {batch_tile} must divide padded batch {b}")
     kernel = functools.partial(
-        _kernel, units=units, total_steps=total_steps, compute_dtype=cd, qtype=qtype
+        _kernel, units=units, total_steps=total_steps, compute_dtype=cd,
+        qtype=qtype, tiled=tiled,
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if tiled:
+        # sequential grid over batch tiles; weights ride whole in every step
+        # (Mosaic keeps the unchanged blocks resident), per-tile operands
+        # slice the batch (lane) dim
+        grid = (b // bt,)
+        whole = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
+        colb = lambda rows: pl.BlockSpec((rows, bt), lambda i: (0, i))
+        in_specs = [whole(op.shape)
+                    for op in (emb, wc, ws, uc, us, bias, dc, ds, dbias)]
+        in_specs += [colb(tp), colb(8)]
+        out_specs = (colb(tp), pl.BlockSpec((bt, ku), lambda i: (i, 0)))
+    else:
+        grid = ()
+        in_specs = [vmem] * 11
+        out_specs = (vmem, vmem)
     toks, h_out = pl.pallas_call(
         kernel,
-        in_specs=[vmem] * 11,
-        out_specs=(vmem, vmem),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((tp, b), jnp.int32),
             jax.ShapeDtypeStruct((b, ku), jnp.float32),
@@ -187,8 +225,8 @@ def _fused_decode_jit(
             pltpu.VMEM((ku, g), cd),       # u_bf
             pltpu.VMEM((ku, vp), cd),      # d_bf
             pltpu.VMEM((vp, g), cd),       # proj_bf (input-projection table)
-            pltpu.VMEM((b, ku), jnp.float32),   # h
-            pltpu.VMEM((1, b), jnp.int32),      # prev token row
+            pltpu.VMEM((bt, ku), jnp.float32),  # h
+            pltpu.VMEM((1, bt), jnp.int32),     # prev token row
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -255,6 +293,24 @@ def _prep_weights(params):
     return (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp)
 
 
+# Measured VMEM boundary of the UNTILED offline decode kernel (v5e, T=512:
+# q8_0 B=3584 compiles, B=3840 fails the Mosaic compile — its (Tp, B) token
+# buffer is 4x the serving tick's, so it bounds earlier than the tick's
+# 3712). Above this the kernel grid-tiles the batch dim like the tick.
+FUSED_DECODE_MAX_UNTILED = {"q8_0": 3584, "q4_0": 3584}
+
+
+def _auto_tile(bp: int, limit: int, preferred: int = 2048) -> int:
+    """0 (untiled) at/below the VMEM boundary, else the widest boundary-safe
+    tile that divides the padded batch."""
+    if bp <= limit:
+        return 0
+    for tile in (preferred, 1024, 512, 256, 128):
+        if tile <= limit and bp % tile == 0:
+            return tile
+    raise ValueError(f"no boundary-safe tile divides {bp}")
+
+
 def fused_gru_decode(
     params,
     prompt_ids: jax.Array,      # (B, P) int32
@@ -262,6 +318,7 @@ def fused_gru_decode(
     total_steps: int,
     *,
     compute_dtype=jnp.bfloat16,
+    batch_tile=None,
 ) -> jax.Array:
     """Greedy decode via the persistent kernel. Semantics identical to
     models/gru_textgen.generate(temperature=0): returns (B, total_steps)
@@ -271,6 +328,10 @@ def fused_gru_decode(
     configurations); all three weight matrices must share one qtype. Q4_0
     nibbles are unpacked once during the kernel's VMEM weight setup, so the
     per-step loop is identical to Q8_0's.
+
+    ``batch_tile``: None (default) auto-tiles the batch dim once the padded
+    batch exceeds the kernel's measured VMEM boundary (so any B compiles, at
+    per-tile throughput); an int forces that tile width; 0 forces untiled.
     """
     qtype = _check_quantized(params)
     b, p = prompt_ids.shape
@@ -282,12 +343,15 @@ def fused_gru_decode(
     prompt = prompt.at[: min(p, tp), :b].set(prompt_ids[:, :tp].swapaxes(0, 1))
     plen = jnp.zeros((8, bp), jnp.int32).at[0, :b].set(prompt_lengths)
 
+    if batch_tile is None:
+        batch_tile = _auto_tile(bp, FUSED_DECODE_MAX_UNTILED.get(qtype, 2048))
     toks, _ = _fused_decode_jit(
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
         units=u,
         total_steps=total_steps,
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         qtype=qtype,
+        batch_tile=batch_tile,
     )
     return toks[:total_steps, :b].swapaxes(0, 1)
 
@@ -512,13 +576,8 @@ TICK_SLOT_TILE = 2048   # preferred tile width for auto-tiled large-B ticks
 def _auto_slot_tile(bp: int, qtype: str) -> int:
     """0 (untiled) below the measured VMEM boundary, else the widest
     boundary-safe tile that divides the padded slot count."""
-    limit = FUSED_TICK_MAX_UNTILED.get(qtype, 2048)
-    if bp <= limit:
-        return 0
-    for tile in (TICK_SLOT_TILE, 1024, 512, 256, 128):
-        if tile <= limit and bp % tile == 0:
-            return tile
-    raise ValueError(f"no boundary-safe slot tile divides {bp}")
+    return _auto_tile(bp, FUSED_TICK_MAX_UNTILED.get(qtype, 2048),
+                      TICK_SLOT_TILE)
 
 
 def _tick_slot_axis(arg_shapes):

@@ -88,7 +88,9 @@ def test_decode_facade_routes(qparams, monkeypatch):
         (2048, 256, True),
         (2048, 512, True),
         (3584, 512, True),    # the measured throughput sweet spot
-        (4096, 512, False),   # past the VMEM boundary: scan, not a compile error
+        (4096, 512, True),    # past the untiled VMEM boundary: batch-tiled
+                              # fused (24.7M tok/s at B=8192 on the tiled
+                              # tick vs the scan's falling 11.2M at B=4096)
     ):
         calls.clear()
         p = jnp.zeros((batch, 3), jnp.int32)
@@ -272,4 +274,42 @@ def test_auto_slot_tile_policy():
         assert t == TICK_SLOT_TILE and 8192 % t == 0
         # padded counts that TICK_SLOT_TILE doesn't divide fall to a divisor
         t2 = _auto_slot_tile(3840, qt)
+        assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
+
+
+def test_fused_decode_batch_tiled_matches_untiled(qparams):
+    """batch_tile > 0 (sequential grid over batch tiles with the dequantized
+    weight scratch persisting across grid steps — the offline twin of the
+    tiled serving tick) decodes token-exactly vs the untiled kernel and the
+    scan path."""
+    rng = np.random.default_rng(7)
+    b = 256
+    prompts = np.zeros((b, 6), np.int32)
+    lengths = np.zeros((b,), np.int32)
+    for i in range(b):
+        n = int(rng.integers(1, 7))
+        prompts[i, :n] = rng.integers(0, 66, n)
+        lengths[i] = n
+    p, l = jnp.asarray(prompts), jnp.asarray(lengths)
+    un = np.asarray(fused_gru_decode(qparams, p, l, 24,
+                                     compute_dtype=jnp.float32, batch_tile=0))
+    ti = np.asarray(fused_gru_decode(qparams, p, l, 24,
+                                     compute_dtype=jnp.float32, batch_tile=128))
+    sc = np.asarray(gru_textgen.generate(qparams, p, l, 24,
+                                         compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(ti, un)
+    np.testing.assert_array_equal(ti, sc)
+
+
+def test_auto_decode_tile_policy():
+    from ggml_experiments_tpu.ops.fused_gru_decode import (
+        FUSED_DECODE_MAX_UNTILED, _auto_tile,
+    )
+
+    for qt, limit in FUSED_DECODE_MAX_UNTILED.items():
+        assert _auto_tile(limit, limit) == 0      # at the boundary: untiled
+        assert _auto_tile(128, limit) == 0
+        t = _auto_tile(8192, limit)               # past it: widest safe tile
+        assert t == 2048 and 8192 % t == 0
+        t2 = _auto_tile(3840, limit)              # falls to a divisor
         assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
