@@ -244,17 +244,12 @@ def decode(
     tick measures 24.7M tok/s at B=8192 vs the scan's falling 11.2M at
     B=4096 / 6.4M at B=16384; docs/STATUS.md capacity table).
     """
-    from ggml_experiments_tpu.quant import QTensor
+    from ggml_experiments_tpu.ops.fused_gru_decode import is_fusable_params
 
     greedy = kw.get("temperature", 0.0) == 0.0
-    quantized = (
-        isinstance(params.cell.kernel, QTensor)
-        and isinstance(params.cell.recurrent_kernel, QTensor)
-        and isinstance(params.dense_kernel, QTensor)
-        and params.cell.kernel.qtype in ("q8_0", "q4_0")
-        and params.cell.recurrent_kernel.qtype == params.cell.kernel.qtype
-        and params.dense_kernel.qtype == params.cell.kernel.qtype
-    )
+    # any block format routes: q8_0/q4_0 dequantize in-kernel, q4_1/q5_0/
+    # q5_1 (and mixed-qtype params) ride the kernel's dense-plane path
+    quantized = is_fusable_params(params)
     if (greedy and quantized and prompt_ids.shape[0] >= 2048
             and total_steps >= 256):
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode

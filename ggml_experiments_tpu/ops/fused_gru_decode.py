@@ -41,6 +41,12 @@ NEG = -1e30
 
 
 def _dequant_to(codes, scales, out_ref, dtype, qtype):
+    if qtype == "dense":
+        # pre-dequantized plane (q4_1/q5_0/q5_1 and mixed-qtype params ride
+        # the kernel this way: XLA dequantizes in-graph once per call, the
+        # kernel loads the f32 plane as-is — see _prep_weights)
+        out_ref[:] = codes[:].astype(dtype)
+        return
     w = unpack_q4(codes) if qtype == "q4_0" else codes.astype(jnp.float32)
     kp, n = w.shape
     w = (w.reshape(kp // BLOCK, BLOCK, n) * scales[:, None, :]).reshape(kp, n)
@@ -241,29 +247,47 @@ def _fused_decode_jit(
     return toks, h_out
 
 
+_FUSABLE_QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
+
+
 def is_fusable_params(params) -> bool:
     """True iff the fused decode kernels can run these GRU params: all three
-    weight matrices QTensors of one shared q8_0/q4_0 qtype."""
+    weight matrices QTensors of any supported block format (q8_0/q4_0 keep
+    their codes quantized in the kernel's VMEM setup; q4_1/q5_0/q5_1 and
+    mixed-qtype params dequantize in-graph and ride the 'dense' plane path)."""
     cell = params.cell
     return (
         isinstance(cell.kernel, QTensor)
         and isinstance(cell.recurrent_kernel, QTensor)
         and isinstance(params.dense_kernel, QTensor)
-        and cell.kernel.qtype in ("q8_0", "q4_0")
-        and cell.recurrent_kernel.qtype == cell.kernel.qtype
-        and params.dense_kernel.qtype == cell.kernel.qtype
+        and cell.kernel.qtype in _FUSABLE_QTYPES
+        and cell.recurrent_kernel.qtype in _FUSABLE_QTYPES
+        and params.dense_kernel.qtype in _FUSABLE_QTYPES
     )
 
 
 def _check_quantized(params) -> str:
+    """The kernel-side qtype for these params: 'q8_0'/'q4_0' when all three
+    matrices share that format (in-kernel dequant), else 'dense'."""
     if not is_fusable_params(params):
-        raise ValueError("the fused decode kernels require q8_0- or q4_0-quantized "
-                         "GRU params with one qtype (load with qtype='q8_0'/'q4_0')")
-    return params.cell.kernel.qtype
+        raise ValueError("the fused decode kernels require block-quantized "
+                         "GRU params (q8_0/q4_0/q4_1/q5_0/q5_1; load with "
+                         "qtype='q8_0' etc.)")
+    qts = {params.cell.kernel.qtype, params.cell.recurrent_kernel.qtype,
+           params.dense_kernel.qtype}
+    if len(qts) == 1 and qts <= {"q8_0", "q4_0"}:
+        return next(iter(qts))
+    return "dense"
 
 
-def _prep_weights(params):
-    """Kernel-layout weight operands (shared by offline decode and slot tick)."""
+def _prep_weights(params, kernel_qtype="native"):
+    """Kernel-layout weight operands (shared by offline decode and slot tick).
+
+    ``kernel_qtype`` 'dense' replaces each codes plane with the in-graph
+    dequantized f32 plane (q4_1/q5_0/q5_1 and mixed-qtype params — one XLA
+    dequant per call, negligible next to the decode loop) and the scales
+    planes with dummies the kernel never reads; anything else keeps the
+    native q8_0/q4_0 codes+scales layout for in-VMEM dequantization."""
     cell = params.cell
     v, e = params.embeddings.shape
     u = cell.recurrent_kernel.shape[0]
@@ -272,16 +296,31 @@ def _prep_weights(params):
     ke = _round_up(e, 32)  # K-padding of the input-projection codes
     emb = jnp.zeros((vp, ke), jnp.float32).at[:v, :e].set(params.embeddings)
 
-    def q(qt, n_logical):
-        # kernel wants exactly (K, n) codes/scales; QTensor already lane-pads
-        return qt.codes[:, :n_logical], qt.scales[:, :n_logical]
+    if kernel_qtype == "dense":
+        from ggml_experiments_tpu.quant.pallas_kernels import dequant_in_graph
 
-    wc, ws = q(cell.kernel, g)
-    uc, us = q(cell.recurrent_kernel, g)
-    # dense: pad N (vocab) to vp; QTensor np_ is already >= 128-padded
-    dqt = params.dense_kernel
-    dc = dqt.codes[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.codes, ((0, 0), (0, vp - dqt.np_)))
-    ds = dqt.scales[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.scales, ((0, 0), (0, vp - dqt.np_)))
+        ku = _round_up(u, 32)
+
+        def plane(qt, k_pad, n_pad):
+            w = dequant_in_graph(qt)  # (k, n) f32, logical
+            k, n = w.shape
+            return jnp.zeros((k_pad, n_pad), jnp.float32).at[:k, :n].set(w)
+
+        wc = plane(cell.kernel, ke, g)
+        uc = plane(cell.recurrent_kernel, ku, g)
+        dc = plane(params.dense_kernel, ku, vp)
+        ws = us = ds = jnp.zeros((1, 128), jnp.float32)  # unread by the kernel
+    else:
+        def q(qt, n_logical):
+            # kernel wants exactly (K, n) codes/scales; QTensor already lane-pads
+            return qt.codes[:, :n_logical], qt.scales[:, :n_logical]
+
+        wc, ws = q(cell.kernel, g)
+        uc, us = q(cell.recurrent_kernel, g)
+        # dense head: pad N (vocab) to vp; QTensor np_ is already >= 128-padded
+        dqt = params.dense_kernel
+        dc = dqt.codes[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.codes, ((0, 0), (0, vp - dqt.np_)))
+        ds = dqt.scales[:, :vp] if dqt.np_ >= vp else jnp.pad(dqt.scales, ((0, 0), (0, vp - dqt.np_)))
 
     bias = jnp.zeros((8, g), jnp.float32)
     if cell.bias is not None:
@@ -335,7 +374,7 @@ def fused_gru_decode(
     """
     qtype = _check_quantized(params)
     b, p = prompt_ids.shape
-    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params)
+    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params, qtype)
 
     bp = _round_up(b, 128)   # B is a lane dim for the token rows
     tp = _round_up(total_steps, 8)
@@ -694,7 +733,7 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
     via _tick_partitioned's rule, and the outputs constrain back to
     replicated so the engine's host loop (np.asarray readbacks, cursor
     shadow) is untouched. None = replicated execution on every device."""
-    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params)
+    (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params, qtype)
     b, p = state.prompt.shape
     bp = _round_up(b, 128)
     pp = _round_up(p, 8)

@@ -378,8 +378,9 @@ class DecodeEngine:
                 raise ValueError("sampled use_fused_tick needs a TPU backend "
                                  "(the in-kernel PRNG has no interpret mode)")
             if not quantized:
-                raise ValueError("use_fused_tick requires q8_0/q4_0-quantized "
-                                 "params (one qtype across cell and dense)")
+                raise ValueError("use_fused_tick requires block-quantized "
+                                 "params (q8_0/q4_0/q4_1/q5_0/q5_1 QTensors "
+                                 "for cell and dense)")
             if multiproc and self.sampling_enabled:
                 raise ValueError(
                     "multi-process use_fused_tick is greedy-only: the "

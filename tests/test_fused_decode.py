@@ -121,22 +121,58 @@ def test_fused_q4_matches_scan(rng):
     np.testing.assert_array_equal(a, b)
 
 
-def test_fused_rejects_mixed_qtypes(rng):
+def _requantized(qtypes, seed=12):
+    """Params with (kernel, recurrent, dense) quantized at the given qtypes."""
     cfg = GRUConfig(vocab_size=66, embed_dim=32, units=64)
-    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(12))
-    mixed = gru_textgen.GRUTextGenParams(
+    fp = gru_textgen.init_params(cfg, jax.random.PRNGKey(seed))
+    return gru_textgen.GRUTextGenParams(
         embeddings=fp.embeddings,
         cell=type(fp.cell)(
-            kernel=quant.quantize(np.asarray(fp.cell.kernel), "q8_0"),
-            recurrent_kernel=quant.quantize(np.asarray(fp.cell.recurrent_kernel), "q4_0"),
+            kernel=quant.quantize(np.asarray(fp.cell.kernel), qtypes[0]),
+            recurrent_kernel=quant.quantize(
+                np.asarray(fp.cell.recurrent_kernel), qtypes[1]),
             bias=fp.cell.bias,
         ),
-        dense_kernel=quant.quantize(np.asarray(fp.dense_kernel), "q8_0"),
+        dense_kernel=quant.quantize(np.asarray(fp.dense_kernel), qtypes[2]),
         dense_bias=fp.dense_bias,
     )
-    prompt = jnp.zeros((1, 4), jnp.int32)
-    with pytest.raises(ValueError, match="one qtype"):
-        fused_gru_decode(mixed, prompt, jnp.full((1,), 4, jnp.int32), 8)
+
+
+@pytest.mark.parametrize("qtypes", [
+    ("q8_0", "q4_0", "q8_0"),   # mixed -> dense-plane path
+    ("q4_1", "q4_1", "q4_1"),
+    ("q5_0", "q5_0", "q5_0"),
+    ("q5_1", "q5_1", "q5_1"),
+])
+def test_fused_dense_path_matches_scan(qtypes):
+    """q4_1/q5_0/q5_1 and mixed-qtype params ride the kernel's dense-plane
+    path (in-graph dequant feeds pre-dequantized f32 planes): token-exact vs
+    the scan decode at matched dtype."""
+    from ggml_experiments_tpu.ops.fused_gru_decode import _check_quantized
+
+    p = _requantized(qtypes)
+    assert _check_quantized(p) == "dense"
+    rng = np.random.default_rng(5)
+    prompts = jnp.asarray(rng.integers(0, 66, (4, 5)), jnp.int32)
+    lengths = jnp.full((4,), 5, jnp.int32)
+    a = np.asarray(fused_gru_decode(p, prompts, lengths, 40,
+                                    compute_dtype=jnp.float32))
+    b = np.asarray(gru_textgen.generate(p, prompts, lengths, 40,
+                                        compute_dtype=jnp.float32))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_dense_path_batch_tiled():
+    """The dense-plane path composes with batch tiling."""
+    p = _requantized(("q5_1", "q5_1", "q5_1"), seed=13)
+    rng = np.random.default_rng(6)
+    prompts = jnp.asarray(rng.integers(0, 66, (256, 4)), jnp.int32)
+    lengths = jnp.full((256,), 4, jnp.int32)
+    un = np.asarray(fused_gru_decode(p, prompts, lengths, 16,
+                                     compute_dtype=jnp.float32, batch_tile=0))
+    ti = np.asarray(fused_gru_decode(p, prompts, lengths, 16,
+                                     compute_dtype=jnp.float32, batch_tile=128))
+    np.testing.assert_array_equal(ti, un)
 
 
 def test_fused_slot_tick_matches_scan_tick():
@@ -313,3 +349,42 @@ def test_auto_decode_tile_policy():
         assert t == 2048 and 8192 % t == 0
         t2 = _auto_tile(3840, limit)              # falls to a divisor
         assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
+
+
+def test_fused_slot_tick_dense_path_matches_scan_tick():
+    """The serving tick accepts q5_1 (dense-plane) params: token-exact vs
+    the scan tick across resumed ticks."""
+    import dataclasses
+
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.serving.engine import _slot_scan, init_state
+
+    params = _requantized(("q5_1", "q5_1", "q5_1"), seed=21)
+    n_slots, max_prompt, inner = 8, 8, 16
+    rng = np.random.default_rng(9)
+    prompt = np.zeros((n_slots, max_prompt), np.int32)
+    plen = np.zeros((n_slots,), np.int32)
+    for i in range(n_slots):
+        n = int(rng.integers(1, max_prompt))
+        prompt[i, :n] = rng.integers(0, 66, n)
+        plen[i] = n
+
+    def fresh_state():
+        return dataclasses.replace(
+            init_state(params, n_slots, max_prompt),
+            prompt=jnp.asarray(prompt, jnp.int32),
+            plen=jnp.asarray(plen, jnp.int32),
+            total=jnp.full((n_slots,), 40, jnp.int32),
+        )
+
+    s_f, s_s = fresh_state(), fresh_state()
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    for tick in range(2):
+        s_f, toks_f = fused_slot_tick(params, s_f, inner,
+                                      compute_dtype=jnp.float32)
+        s_s, toks_s, _v = scan(params, s_s, np.int32(tick), inner,
+                               compute_dtype=jnp.float32)
+        np.testing.assert_array_equal(np.asarray(toks_f), np.asarray(toks_s),
+                                      err_msg=f"tick {tick}")
+        np.testing.assert_allclose(np.asarray(s_f.h), np.asarray(s_s.h),
+                                   atol=1e-5, rtol=1e-5)
