@@ -225,6 +225,17 @@ def main():
                 stats_key="fused_bf16_B3584_T512")
         except Exception as ex:
             log(f"max-batch fused decode skipped: {type(ex).__name__}: {ex}")
+        # past the untiled VMEM boundary: the batch-tiled kernel (sequential
+        # grid over 2048-slot tiles, weight scratch persists across tiles) —
+        # the serving tick's twin measured 24.7M tok/s at B=8192 where the
+        # scan path falls to 11.2M at B=4096 (docs/capacity_sweep_r4.json)
+        try:
+            results["fused_bf16_B8192_T512_tiled"] = bench_decode(
+                lambda p, l, b: fused_gru_decode(params, p, l, 512), 8192,
+                "fused-kernel tiled", steps_=512,
+                stats_key="fused_bf16_B8192_T512_tiled")
+        except Exception as ex:
+            log(f"tiled fused decode skipped: {type(ex).__name__}: {ex}")
     tokens_per_s = max(results.values())
     headline_config = max(results, key=results.get)
     log(f"headline config: {headline_config}")

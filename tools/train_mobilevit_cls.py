@@ -75,21 +75,27 @@ def main() -> int:
                                         amp_factor=amp_factor)
         if full:
             # contrast curriculum: from-scratch SGD at 256px is stuck at
-            # chance on the canonical contrast (2000 steps flat at ln 44 at
-            # 1x AND 2x) but breaks through at 4x, and a trained model
-            # adapts down a 2x contrast step — anneal 4x -> 2x, then finish
-            # on the canonical task (image_task.make_dataset amp_boost)
-            for phase, boost in enumerate((4.0, 2.0), 1):
+            # chance below an ABSOLUTE grating contrast of ~4x (2000 steps
+            # flat at ln 44 at absolute 1x AND 2x; breaks through at 4x),
+            # and a trained model adapts down a 2x contrast step. The boost
+            # schedule is therefore expressed in absolute contrast and
+            # divided by amp_factor — rev 4's first run kept boost=4.0
+            # *relative* to the lowered canonical (absolute 2.0) and never
+            # left chance (loss pinned at ln 44 through every phase).
+            boosts = [b / amp_factor for b in (4.0, 2.0, 1.0)
+                      if b / amp_factor > 1.0]
+            nph = len(boosts) + 1
+            for phase, boost in enumerate(boosts, 1):
                 warm_x, warm_y = make_dataset(n_train, seed=TRAIN_SEED,
                                               image_size=cfg.image_size,
                                               amp_boost=boost,
                                               amp_factor=amp_factor)
-                print(f"curriculum phase {phase}/3: amp_boost={boost}",
+                print(f"curriculum phase {phase}/{nph}: amp_boost={boost}",
                       file=sys.stderr, flush=True)
                 named, _ = train_model(named, warm_x, warm_y, config=cfg,
                                        steps=steps // 2, batch=batch, lr=lr)
-            print("curriculum phase 3/3: canonical contrast", file=sys.stderr,
-                  flush=True)
+            print(f"curriculum phase {nph}/{nph}: canonical contrast",
+                  file=sys.stderr, flush=True)
         trained, loss = train_model(named, train_x, train_y, config=cfg,
                                     steps=steps, batch=batch, lr=lr)
         write_named_tensors(out, sorted(trained.items()))
