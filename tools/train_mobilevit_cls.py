@@ -28,6 +28,14 @@ OUT_FULL = os.path.join(REPO, "checkpoints", "mobilevit_synth_full.ggml")
 def main() -> int:
     eval_only = "--eval-only" in sys.argv[1:]
     full = "--full" in sys.argv[1:]
+    import jax
+
+    # persistent compile cache: the per-qtype eval ladder is a fresh XLA
+    # program each (the remote-compile hop makes cold evals minutes each)
+    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     from ggml_experiments_tpu.formats.ggml_named import write_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
         load_mobilevit, random_named_tensors,
