@@ -568,7 +568,11 @@ class DecodeEngine:
         for slot, req, n in targets:
             if req._canceled:
                 continue
-            new_toks = [int(t) for t in toks[slot, :n]]
+            # ndarray.tolist() converts to Python ints in C — measured 15x
+            # over a per-token int() loop, which was ~45% of session wall at
+            # 2048 slots (tools/serving_breakdown.py round 4: distribute_s
+            # 0.11-0.13 s vs readback_wait_s 0.05)
+            new_toks = toks[slot, :n].tolist()
             req._tokens.extend(new_toks)
             delivered += n
             if req.on_token is not None:
