@@ -122,18 +122,27 @@ def _kernel(
     tiled: bool = False,
 ):
     cd = compute_dtype
+    if qtype == "dense":
+        # pre-dequantized planes arrive as compute-dtype operands — use the
+        # input refs directly (no scratch copy: duplicating the planes in
+        # VMEM measured the dense path 2x slower than q8_0 at B=2048)
+        w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
+    else:
+        w_use, u_use, d_use = w_bf, u_bf, d_bf
 
     def _setup_weights():
-        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        if qtype != "dense":
+            _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+            _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+            _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
         # Vocab-wide input-projection table, computed ONCE during VMEM setup:
         # proj[v] = emb[v] · W. The per-step x-projection then contracts the
         # one-hot over (Vp, G) instead of (Vp, Ke) + (Ke, G) — the same
         # loop-invariant hoist the scan path does (gru_textgen.generate), done
         # the in-kernel way; drops ~1.6 GFLOP/step at the reference shapes.
         proj_bf[:] = jnp.dot(
-            emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+            emb_ref[:].astype(cd), w_use[:].astype(cd),
+            preferred_element_type=jnp.float32,
         ).astype(cd)
 
     if tiled:
@@ -163,7 +172,7 @@ def _kernel(
         tok = jnp.where(j < plen, pj, prev_ref[:])        # (1, B)
         toks_ref[pl.ds(j, 1), :] = tok
         pred, _ = _gru_step(
-            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
+            tok, h_ref, proj_bf, u_use, d_use, b0, b1, dbias_col, sub_v,
             units=u, compute_dtype=cd,
         )
         prev_ref[:] = pred
@@ -188,6 +197,10 @@ def _fused_decode_jit(
     batch_tile: int = 0,
 ):
     cd = jnp.bfloat16 if compute_dtype_name == "bfloat16" else jnp.float32
+    if qtype == "dense":
+        # dense planes enter the kernel at the compute dtype and are used
+        # as operand refs directly (no scratch copy)
+        wc, uc, dc = wc.astype(cd), uc.astype(cd), dc.astype(cd)
     kdiv = 2 if qtype == "q4_0" else 1  # q4 codes nibble-pack two K rows/row
     tp, b = prompt.shape
     vp, ke = emb.shape
@@ -227,9 +240,11 @@ def _fused_decode_jit(
             jax.ShapeDtypeStruct((b, ku), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ke, g), cd),       # w_bf
-            pltpu.VMEM((ku, g), cd),       # u_bf
-            pltpu.VMEM((ku, vp), cd),      # d_bf
+            # dense mode reads the operand planes directly; its w/u/d
+            # scratch shrinks to dummies
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ke, g), cd),   # w_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, g), cd),   # u_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, vp), cd),  # d_bf
             pltpu.VMEM((vp, g), cd),       # proj_bf (input-projection table)
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((1, bt), jnp.int32),     # prev token row
@@ -438,6 +453,12 @@ def _tick_kernel(
     toks_ref, srow_out_ref, h_out_ref = refs[n_in:n_in + 3]
     w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
+    if qtype == "dense":
+        # pre-dequantized planes arrive as compute-dtype operands — used
+        # directly (no scratch copy; see _kernel)
+        w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
+    else:
+        w_use, u_use, d_use = w_bf, u_bf, d_bf
     if enable_sampling:
         # tiled: decorrelate the per-tile sample streams (same seed on every
         # grid step would replay identical Gumbel noise across slot tiles)
@@ -446,11 +467,13 @@ def _tick_kernel(
         )
 
     def _setup_weights():
-        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        if qtype != "dense":
+            _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+            _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+            _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
         proj_bf[:] = jnp.dot(
-            emb_ref[:].astype(cd), w_bf[:], preferred_element_type=jnp.float32
+            emb_ref[:].astype(cd), w_use[:].astype(cd),
+            preferred_element_type=jnp.float32,
         ).astype(cd)
 
     if tiled:
@@ -489,7 +512,7 @@ def _tick_kernel(
         # column-layout activity mask for the (B, Ku) state rows
         active_col = scol_ref[:, 0:1] < scol_ref[:, 1:2]  # (B, 1)
         pred, logits_vb = _gru_step(
-            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
+            tok, h_ref, proj_bf, u_use, d_use, b0, b1, dbias_col, sub_v,
             units=u, compute_dtype=cd, active_col=active_col,
         )
         if enable_sampling:
@@ -539,6 +562,13 @@ def _tick_call(
     """
     cd = compute_dtype
     kdiv = 2 if qtype == "q4_0" else 1
+    if qtype == "dense":
+        # dense planes enter the kernel at the compute dtype and are used
+        # as operand refs directly (no scratch copy — see _kernel)
+        operands = list(operands)
+        for i in (1, 3, 6):
+            operands[i] = operands[i].astype(cd)
+        operands = tuple(operands)
     emb, wc, uc, dc = operands[0], operands[1], operands[3], operands[6]
     prompt = operands[9]
     pp, b = prompt.shape
@@ -582,9 +612,11 @@ def _tick_call(
             jax.ShapeDtypeStruct((b, ku), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((ke, g), cd),            # w_bf
-            pltpu.VMEM((ku, g), cd),            # u_bf
-            pltpu.VMEM((ku, vp), cd),           # d_bf
+            # dense mode reads the operand planes directly; its w/u/d
+            # scratch shrinks to dummies
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ke, g), cd),   # w_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, g), cd),   # u_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, vp), cd),  # d_bf
             pltpu.VMEM((vp, g), cd),            # proj_bf
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((8, bt), jnp.int32),     # srow (prev/pos/total/plen)
