@@ -214,17 +214,16 @@ def main():
                 stats_key="scan_bf16_B2048_T512")
         except Exception as ex:
             log(f"large-batch scan decode skipped: {type(ex).__name__}: {ex}")
-        # B=3584 is the measured VMEM ceiling for the q8_0 offline kernel
-        # (B=3712 fails kernel compile; tools/capacity_probe.py sweeps the
-        # serving tick's twin boundary) — the capacity sweep saw 24.06M tok/s
-        # here (VERDICT r3 #7)
+        # just past the untiled VMEM boundary (2048 at T=512 — the tick's
+        # 3584/3712 boundaries don't transfer to the offline kernel, whose
+        # B=3584/T=512 compile OOMs scoped VMEM at 110.38M): two 2048-tiles
         try:
-            results["fused_bf16_B3584_T512"] = bench_decode(
-                lambda p, l, b: fused_gru_decode(params, p, l, 512), 3584,
-                "fused-kernel max-batch", steps_=512,
-                stats_key="fused_bf16_B3584_T512")
+            results["fused_bf16_B4096_T512_tiled"] = bench_decode(
+                lambda p, l, b: fused_gru_decode(params, p, l, 512), 4096,
+                "fused-kernel 2-tile", steps_=512,
+                stats_key="fused_bf16_B4096_T512_tiled")
         except Exception as ex:
-            log(f"max-batch fused decode skipped: {type(ex).__name__}: {ex}")
+            log(f"2-tile fused decode skipped: {type(ex).__name__}: {ex}")
         # past the untiled VMEM boundary: the batch-tiled kernel (sequential
         # grid over 2048-slot tiles, weight scratch persists across tiles) —
         # the serving tick's twin measured 24.7M tok/s at B=8192 where the

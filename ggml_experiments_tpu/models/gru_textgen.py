@@ -237,11 +237,12 @@ def decode(
     total_steps >= 256.
 
     No upper bound (round 4): past the untiled kernel's measured VMEM
-    boundary (B=3584 ok at T=512, B=3840 fails the Mosaic compile)
+    boundary (B=2048 at T=512 — B=3584 OOMs scoped VMEM at 110.38M, the
+    per-slot cost being the ~27KB (B, 3U) f32 gate intermediates)
     fused_gru_decode auto-tiles the batch dim — a sequential grid over
-    batch tiles with the dequantized weight scratch persisting across grid
-    steps — so any B compiles at per-tile throughput (the tiled serving
-    tick measures 24.7M tok/s at B=8192 vs the scan's falling 11.2M at
+    2048-wide batch tiles with the dequantized weight scratch persisting
+    across grid steps — so any B compiles at per-tile throughput
+    (measured 25.05M tok/s at B=8192/T=512 vs the scan's falling 11.2M at
     B=4096 / 6.4M at B=16384; docs/STATUS.md capacity table).
     """
     from ggml_experiments_tpu.ops.fused_gru_decode import is_fusable_params

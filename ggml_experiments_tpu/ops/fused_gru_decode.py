@@ -347,11 +347,15 @@ def _prep_weights(params, kernel_qtype="native"):
     return (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp)
 
 
-# Measured VMEM boundary of the UNTILED offline decode kernel (v5e, T=512:
-# q8_0 B=3584 compiles, B=3840 fails the Mosaic compile — its (Tp, B) token
-# buffer is 4x the serving tick's, so it bounds earlier than the tick's
-# 3712). Above this the kernel grid-tiles the batch dim like the tick.
-FUSED_DECODE_MAX_UNTILED = {"q8_0": 3584, "q4_0": 3584}
+# Measured VMEM boundary of the UNTILED offline decode kernel. The serving
+# tick's 3584/3712 boundaries do NOT transfer: at T=512 the offline kernel's
+# B=3584 compile fails with a scoped-VMEM stack OOM (110.38M vs the 100M
+# limit — bench.py round 4; the per-slot cost is dominated by the ~27KB/slot
+# (B, 3U) f32 gate intermediates, so it is nearly T-independent), while
+# B=2048/T=512 compiles with ~30M headroom. 2048 is also the best-measured
+# tile width, so past it the kernel grid-tiles at no throughput cost
+# (B=8192: 25.05M tok/s, above the untiled tick's own sweet spot).
+FUSED_DECODE_MAX_UNTILED = {"q8_0": 2048, "q4_0": 2048, "dense": 2048}
 
 
 def _auto_tile(bp: int, limit: int, preferred: int = 2048) -> int:
@@ -644,11 +648,16 @@ FUSED_TICK_MAX_UNTILED = {"q8_0": 3712, "q4_0": 3584}
 TICK_SLOT_TILE = 2048   # preferred tile width for auto-tiled large-B ticks
 
 
-def _auto_slot_tile(bp: int, qtype: str) -> int:
+def _auto_slot_tile(bp: int, qtype: str, inner_steps: int = 128) -> int:
     """0 (untiled) below the measured VMEM boundary, else the widest
-    boundary-safe tile that divides the padded slot count."""
-    return _auto_tile(bp, FUSED_TICK_MAX_UNTILED.get(qtype, 2048),
-                      TICK_SLOT_TILE)
+    boundary-safe tile that divides the padded slot count. The boundaries
+    were measured at inner_steps=128; longer ticks grow the per-slot token
+    buffers, so past 256 inner steps the limit falls back to the
+    always-safe 2048 (the offline kernel's measured T=512 boundary)."""
+    limit = FUSED_TICK_MAX_UNTILED.get(qtype, 2048)
+    if inner_steps > 256:
+        limit = min(limit, 2048)
+    return _auto_tile(bp, limit, TICK_SLOT_TILE)
 
 
 def _tick_slot_axis(arg_shapes):
@@ -686,7 +695,8 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
         # tile from the LOCAL slot width (under slot-sharding each device
         # ticks only its shard; the tile decision must match that shape)
         b_local = ops[9].shape[1]
-        st = _auto_slot_tile(b_local, qtype) if slot_tile is None else slot_tile
+        st = (_auto_slot_tile(b_local, qtype, inner_steps)
+              if slot_tile is None else slot_tile)
         return _tick_call(
             *ops, units=units, inner_steps=inner_steps, compute_dtype=cd,
             qtype=qtype, enable_sampling=enable_sampling, slot_tile=st,

@@ -87,10 +87,10 @@ def test_decode_facade_routes(qparams, monkeypatch):
         (1024, 256, False),   # high-variance tie: stay on the stable scan
         (2048, 256, True),
         (2048, 512, True),
-        (3584, 512, True),    # the measured throughput sweet spot
-        (4096, 512, True),    # past the untiled VMEM boundary: batch-tiled
-                              # fused (24.7M tok/s at B=8192 on the tiled
-                              # tick vs the scan's falling 11.2M at B=4096)
+        (3584, 512, True),    # past the untiled boundary: tiled fused
+        (4096, 512, True),    # batch-tiled fused (measured 25.05M tok/s at
+                              # B=8192/T=512 vs the scan's falling 11.2M
+                              # at B=4096)
     ):
         calls.clear()
         p = jnp.zeros((batch, 3), jnp.int32)
