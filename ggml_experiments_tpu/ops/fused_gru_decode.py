@@ -39,12 +39,21 @@ from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 
 NEG = -1e30
 
+# A/B seam for the dense-plane path (probe use): 1 = per-step dots read the
+# operand refs directly instead of a VMEM scratch copy. Default off — the
+# scratch-copy form is the measured-faster loop (operand-ref dots ~2x/step).
+import os as _os
+
+_DENSE_NO_COPY = _os.environ.get("GXT_DENSE_NOCOPY") == "1"
+
 
 def _dequant_to(codes, scales, out_ref, dtype, qtype):
     if qtype == "dense":
         # pre-dequantized plane (q4_1/q5_0/q5_1 and mixed-qtype params ride
-        # the kernel this way: XLA dequantizes in-graph once per call, the
-        # kernel loads the f32 plane as-is — see _prep_weights)
+        # the kernel this way: XLA dequantizes in-graph once per call and
+        # the plane arrives already at the compute dtype; the setup copy
+        # into scratch keeps the per-step dots on scratch refs — reading
+        # operand refs directly in the loop measured ~2x slower per step)
         out_ref[:] = codes[:].astype(dtype)
         return
     w = unpack_q4(codes) if qtype == "q4_0" else codes.astype(jnp.float32)
@@ -122,16 +131,13 @@ def _kernel(
     tiled: bool = False,
 ):
     cd = compute_dtype
-    if qtype == "dense":
-        # pre-dequantized planes arrive as compute-dtype operands — use the
-        # input refs directly (no scratch copy: duplicating the planes in
-        # VMEM measured the dense path 2x slower than q8_0 at B=2048)
+    if qtype == "dense" and _DENSE_NO_COPY:
         w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
     else:
         w_use, u_use, d_use = w_bf, u_bf, d_bf
 
     def _setup_weights():
-        if qtype != "dense":
+        if qtype != "dense" or not _DENSE_NO_COPY:
             _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
             _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
             _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
@@ -242,9 +248,12 @@ def _fused_decode_jit(
         scratch_shapes=[
             # dense mode reads the operand planes directly; its w/u/d
             # scratch shrinks to dummies
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ke, g), cd),   # w_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, g), cd),   # u_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, vp), cd),  # d_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ke, g), cd),  # w_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ku, g), cd),  # u_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ku, vp), cd),  # d_bf
             pltpu.VMEM((vp, g), cd),       # proj_bf (input-projection table)
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((1, bt), jnp.int32),     # prev token row
@@ -457,9 +466,7 @@ def _tick_kernel(
     toks_ref, srow_out_ref, h_out_ref = refs[n_in:n_in + 3]
     w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
-    if qtype == "dense":
-        # pre-dequantized planes arrive as compute-dtype operands — used
-        # directly (no scratch copy; see _kernel)
+    if qtype == "dense" and _DENSE_NO_COPY:
         w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
     else:
         w_use, u_use, d_use = w_bf, u_bf, d_bf
@@ -471,7 +478,7 @@ def _tick_kernel(
         )
 
     def _setup_weights():
-        if qtype != "dense":
+        if qtype != "dense" or not _DENSE_NO_COPY:
             _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
             _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
             _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
@@ -618,9 +625,12 @@ def _tick_call(
         scratch_shapes=[
             # dense mode reads the operand planes directly; its w/u/d
             # scratch shrinks to dummies
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ke, g), cd),   # w_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, g), cd),   # u_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" else (ku, vp), cd),  # d_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ke, g), cd),  # w_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ku, g), cd),  # u_bf
+            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
+                       else (ku, vp), cd),  # d_bf
             pltpu.VMEM((vp, g), cd),            # proj_bf
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((8, bt), jnp.int32),     # srow (prev/pos/total/plen)
