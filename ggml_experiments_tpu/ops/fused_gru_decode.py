@@ -273,6 +273,46 @@ def _fused_decode_jit(
 
 _FUSABLE_QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
 
+# Dense-path plane cache: the in-graph dequant would otherwise re-run on
+# EVERY decode call / serving tick (q8_0's in-jit prep is cheap slicing;
+# q5_1's is a full unpack+scale of the weights — measured 2.6x q8_0's whole
+# B=2048/T=512 decode in the worst platform drift). Weak-keyed on the params
+# object so engine-held params dequantize exactly once.
+import weakref as _weakref
+
+_DENSE_CACHE = _weakref.WeakKeyDictionary()
+
+
+def _densify(params):
+    """Params with each QTensor weight replaced by its dequantized f32
+    array, computed once per params object."""
+    try:
+        hit = _DENSE_CACHE.get(params)
+    except TypeError:  # unhashable/weakref-less params: just recompute
+        hit = None
+    if hit is not None:
+        return hit
+    from ggml_experiments_tpu.quant.pallas_kernels import dequant_in_graph
+
+    deq = jax.jit(dequant_in_graph)
+
+    def d(x):
+        return deq(x) if isinstance(x, QTensor) else x
+
+    cell = params.cell
+    out = dataclasses.replace(
+        params,
+        cell=dataclasses.replace(
+            cell, kernel=d(cell.kernel), recurrent_kernel=d(cell.recurrent_kernel)
+        ),
+        dense_kernel=d(params.dense_kernel),
+    )
+    try:
+        _DENSE_CACHE[params] = out
+    except TypeError:
+        pass
+    return out
+
 
 def is_fusable_params(params) -> bool:
     """True iff the fused decode kernels can run these GRU params: all three
@@ -326,7 +366,9 @@ def _prep_weights(params, kernel_qtype="native"):
         ku = _round_up(u, 32)
 
         def plane(qt, k_pad, n_pad):
-            w = dequant_in_graph(qt)  # (k, n) f32, logical
+            # callers _densify() params first (one dequant per params object);
+            # raw QTensors still work, at a per-call dequant cost
+            w = qt if not isinstance(qt, QTensor) else dequant_in_graph(qt)
             k, n = w.shape
             return jnp.zeros((k_pad, n_pad), jnp.float32).at[:k, :n].set(w)
 
@@ -401,6 +443,8 @@ def fused_gru_decode(
     per-tile throughput); an int forces that tile width; 0 forces untiled.
     """
     qtype = _check_quantized(params)
+    if qtype == "dense":
+        params = _densify(params)  # one dequant per params object, cached
     b, p = prompt_ids.shape
     (emb, wc, ws, uc, us, bias, dc, ds, dbias), (v, e, u, g, vp) = _prep_weights(params, qtype)
 
@@ -874,6 +918,8 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     error past the boundary); an explicit int forces that tile width.
     """
     qtype = _check_quantized(params)
+    if qtype == "dense":
+        params = _densify(params)  # one dequant per params object, cached
     if slot_axis is not None:
         if mesh is None or slot_axis not in mesh.axis_names:
             raise ValueError(f"slot_axis={slot_axis!r} requires a mesh with "
