@@ -338,30 +338,40 @@ def main():
     except Exception as ex:  # secondary metric must not break the headline
         log(f"mobilevit bench skipped: {type(ex).__name__}: {ex}")
 
-    # secondary: continuous-batching serving, end-to-end wall (submit->drain)
+    # secondary: continuous-batching serving, end-to-end wall (submit->drain).
+    # 1024-slot sync is the historical config; 8192-slot async is the
+    # at-scale config (tiled fused tick): measured 13.4M tok/s = 55% of the
+    # device tick rate (tools/serving_breakdown.py round 4 — bigger ticks
+    # amortize the per-tick tunnel readback latency, and the async reader
+    # only wins once ticks are large enough to hide its GIL share)
     try:
         if on_tpu:
             from ggml_experiments_tpu.serving import DecodeEngine
 
-            eng = DecodeEngine(params, n_slots=1024, max_prompt=16, inner_steps=128,
-                               compute_dtype=jnp.bfloat16, fetch_depth=8)
-            # warm the tick program (compile happens on the first tick; the
-            # recorded number is the warm serving throughput)
-            for i in range(64):
-                eng.submit(rng.integers(0, v, 8).astype(np.int32), 120)
-            eng.run_until_idle(timeout_s=1200)
-            eng.stats.tokens_generated = 0
-            eng.stats.device_steps = 0
-            for i in range(2048):
-                eng.submit(rng.integers(0, v, 8).astype(np.int32), 292)
-            t0 = time.perf_counter()
-            eng.run_until_idle(timeout_s=1200)
-            wall = time.perf_counter() - t0
-            log(f"TPU q8_0 serving (1024 slots, inner 128, "
-                f"{'fused' if eng.use_fused_tick else 'scan'} tick): "
-                f"{eng.stats.tokens_generated:,} tokens end-to-end {wall:.2f}s -> "
-                f"{eng.stats.tokens_generated/wall:,.0f} tokens/s/chip "
-                f"(incl host queueing + token readback)")
+            for n_slots, fetch_async in ((1024, False), (8192, True)):
+                eng = DecodeEngine(params, n_slots=n_slots, max_prompt=16,
+                                   inner_steps=128, compute_dtype=jnp.bfloat16,
+                                   fetch_depth=8 if n_slots <= 1024 else 16,
+                                   fetch_async=fetch_async)
+                # warm the tick program (compile happens on the first tick;
+                # the recorded number is the warm serving throughput)
+                for i in range(max(64, n_slots // 8)):
+                    eng.submit(rng.integers(0, v, 8).astype(np.int32), 120)
+                eng.run_until_idle(timeout_s=1200)
+                eng.stats.tokens_generated = 0
+                eng.stats.device_steps = 0
+                for i in range(2 * n_slots):
+                    eng.submit(rng.integers(0, v, 8).astype(np.int32), 292)
+                t0 = time.perf_counter()
+                eng.run_until_idle(timeout_s=1200)
+                wall = time.perf_counter() - t0
+                log(f"TPU q8_0 serving ({n_slots} slots, inner 128, "
+                    f"{'fused' if eng.use_fused_tick else 'scan'} tick, "
+                    f"{'async' if fetch_async else 'sync'} fetch): "
+                    f"{eng.stats.tokens_generated:,} tokens end-to-end "
+                    f"{wall:.2f}s -> "
+                    f"{eng.stats.tokens_generated/wall:,.0f} tokens/s/chip "
+                    f"(incl host queueing + token readback)")
     except Exception as ex:
         log(f"serving bench skipped: {type(ex).__name__}: {ex}")
 
