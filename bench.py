@@ -193,10 +193,11 @@ def main():
     if on_tpu:
         # the large-slot serving configuration: throughput keeps rising past
         # B=1024 (the per-step fixed overheads amortize over more lanes);
-        # past the untiled kernel's VMEM boundary (B=3840) the kernel
-        # auto-tiles the batch dim at per-tile throughput. The scan row at
-        # the same shape pins decode()'s dispatch choice (fused iff B>=2048
-        # AND T>=256, models/gru_textgen.decode) inside the artifact.
+        # past the offline kernel's untiled VMEM boundary (2048 at T=512 —
+        # B=3584 OOMs scoped VMEM) the kernel auto-tiles the batch dim at
+        # per-tile throughput. The scan row at the same shape pins
+        # decode()'s dispatch choice (fused iff B>=2048 AND T>=256,
+        # models/gru_textgen.decode) inside the artifact.
         try:
             results["fused_bf16_B2048_T512"] = bench_decode(
                 lambda p, l, b: fused_gru_decode(params, p, l, 512), 2048,

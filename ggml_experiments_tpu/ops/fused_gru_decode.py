@@ -39,21 +39,14 @@ from ggml_experiments_tpu.quant.pallas_kernels import _default_interpret
 
 NEG = -1e30
 
-# A/B seam for the dense-plane path (probe use): 1 = per-step dots read the
-# operand refs directly instead of a VMEM scratch copy. Default off — the
-# scratch-copy form is the measured-faster loop (operand-ref dots ~2x/step).
-import os as _os
-
-_DENSE_NO_COPY = _os.environ.get("GXT_DENSE_NOCOPY") == "1"
-
-
 def _dequant_to(codes, scales, out_ref, dtype, qtype):
     if qtype == "dense":
-        # pre-dequantized plane (q4_1/q5_0/q5_1 and mixed-qtype params ride
-        # the kernel this way: XLA dequantizes in-graph once per call and
-        # the plane arrives already at the compute dtype; the setup copy
-        # into scratch keeps the per-step dots on scratch refs — reading
-        # operand refs directly in the loop measured ~2x slower per step)
+        # pre-dequantized plane (q4_1/q5_0/q5_1 and mixed-qtype params):
+        # the plane arrives at the compute dtype; the setup copies it into
+        # the same scratch the quantized paths dequantize into, so the
+        # per-step loop is identical across formats (reading the operand
+        # refs directly in the loop was measured ~2x slower per step and
+        # removed — see docs/capacity_sweep_r4.json dense_path notes)
         out_ref[:] = codes[:].astype(dtype)
         return
     w = unpack_q4(codes) if qtype == "q4_0" else codes.astype(jnp.float32)
@@ -131,23 +124,18 @@ def _kernel(
     tiled: bool = False,
 ):
     cd = compute_dtype
-    if qtype == "dense" and _DENSE_NO_COPY:
-        w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
-    else:
-        w_use, u_use, d_use = w_bf, u_bf, d_bf
 
     def _setup_weights():
-        if qtype != "dense" or not _DENSE_NO_COPY:
-            _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-            _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-            _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
         # Vocab-wide input-projection table, computed ONCE during VMEM setup:
         # proj[v] = emb[v] · W. The per-step x-projection then contracts the
         # one-hot over (Vp, G) instead of (Vp, Ke) + (Ke, G) — the same
         # loop-invariant hoist the scan path does (gru_textgen.generate), done
         # the in-kernel way; drops ~1.6 GFLOP/step at the reference shapes.
         proj_bf[:] = jnp.dot(
-            emb_ref[:].astype(cd), w_use[:].astype(cd),
+            emb_ref[:].astype(cd), w_bf[:].astype(cd),
             preferred_element_type=jnp.float32,
         ).astype(cd)
 
@@ -178,7 +166,7 @@ def _kernel(
         tok = jnp.where(j < plen, pj, prev_ref[:])        # (1, B)
         toks_ref[pl.ds(j, 1), :] = tok
         pred, _ = _gru_step(
-            tok, h_ref, proj_bf, u_use, d_use, b0, b1, dbias_col, sub_v,
+            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
             units=u, compute_dtype=cd,
         )
         prev_ref[:] = pred
@@ -246,14 +234,9 @@ def _fused_decode_jit(
             jax.ShapeDtypeStruct((b, ku), jnp.float32),
         ),
         scratch_shapes=[
-            # dense mode reads the operand planes directly; its w/u/d
-            # scratch shrinks to dummies
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ke, g), cd),  # w_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ku, g), cd),  # u_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ku, vp), cd),  # d_bf
+            pltpu.VMEM((ke, g), cd),       # w_bf
+            pltpu.VMEM((ku, g), cd),       # u_bf
+            pltpu.VMEM((ku, vp), cd),      # d_bf
             pltpu.VMEM((vp, g), cd),       # proj_bf (input-projection table)
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((1, bt), jnp.int32),     # prev token row
@@ -275,29 +258,31 @@ _FUSABLE_QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
 
 # Dense-path plane cache: the in-graph dequant would otherwise re-run on
 # EVERY decode call / serving tick (q8_0's in-jit prep is cheap slicing;
-# q5_1's is a full unpack+scale of the weights — measured 2.6x q8_0's whole
-# B=2048/T=512 decode in the worst platform drift). Weak-keyed on the params
-# object so engine-held params dequantize exactly once.
+# q5_1's is a full unpack+scale of the weights). Keyed by id(params) — the
+# params dataclass is unhashable, so a WeakKeyDictionary cannot hold it —
+# with a weakref finalizer evicting the entry when the params object dies
+# (also guarding against id reuse).
 import weakref as _weakref
 
-_DENSE_CACHE = _weakref.WeakKeyDictionary()
+_DENSE_CACHE = {}
+_DEQ_JIT = None  # lazily-built module-level jit so tracing happens once
 
 
 def _densify(params):
     """Params with each QTensor weight replaced by its dequantized f32
     array, computed once per params object."""
-    try:
-        hit = _DENSE_CACHE.get(params)
-    except TypeError:  # unhashable/weakref-less params: just recompute
-        hit = None
+    key = id(params)
+    hit = _DENSE_CACHE.get(key)
     if hit is not None:
         return hit
-    from ggml_experiments_tpu.quant.pallas_kernels import dequant_in_graph
+    global _DEQ_JIT
+    if _DEQ_JIT is None:
+        from ggml_experiments_tpu.quant.pallas_kernels import dequant_in_graph
 
-    deq = jax.jit(dequant_in_graph)
+        _DEQ_JIT = jax.jit(dequant_in_graph)
 
     def d(x):
-        return deq(x) if isinstance(x, QTensor) else x
+        return _DEQ_JIT(x) if isinstance(x, QTensor) else x
 
     cell = params.cell
     out = dataclasses.replace(
@@ -308,8 +293,9 @@ def _densify(params):
         dense_kernel=d(params.dense_kernel),
     )
     try:
-        _DENSE_CACHE[params] = out
-    except TypeError:
+        _weakref.finalize(params, _DENSE_CACHE.pop, key, None)
+        _DENSE_CACHE[key] = out
+    except TypeError:  # no weakref support: don't risk a stale id-reuse hit
         pass
     return out
 
@@ -409,15 +395,31 @@ def _prep_weights(params, kernel_qtype="native"):
 FUSED_DECODE_MAX_UNTILED = {"q8_0": 2048, "q4_0": 2048, "dense": 2048}
 
 
-def _auto_tile(bp: int, limit: int, preferred: int = 2048) -> int:
-    """0 (untiled) at/below the VMEM boundary, else the widest boundary-safe
-    tile that divides the padded batch."""
+def _auto_tile(bp: int, limit: int) -> int:
+    """0 (untiled) at/below the VMEM boundary, else the LARGEST 128-multiple
+    tile <= limit that divides the padded batch (e.g. bp=3840 with limit
+    2048 tiles at 1920, not the ladder-of-powers-of-two's 256 — narrow
+    tiles pay the fused kernel's per-step fixed cost many times over)."""
     if bp <= limit:
         return 0
-    for tile in (preferred, 1024, 512, 256, 128):
-        if tile <= limit and bp % tile == 0:
+    for tile in range(min(limit, bp) // 128 * 128, 0, -128):
+        if bp % tile == 0:
             return tile
     raise ValueError(f"no boundary-safe tile divides {bp}")
+
+
+def _decode_tile_limit(qtype: str, total_steps: int) -> int:
+    """Slot-width limit for one VMEM block of the offline kernel, as a
+    function of decode length. VMEM model fit to the measured T=512 points
+    (B=2048 compiles with ~30M headroom; B=3584 OOMs scoped VMEM at
+    110.38M against the 100M budget): ~26KB/slot of f32 gate
+    intermediates + 8*Tp bytes/slot of i32 prompt+token rows against an
+    ~86M usable budget. At T<=512 this returns the measured 2048; longer
+    decodes shrink the tile so "any B compiles" stays true at any T."""
+    tp = _round_up(total_steps, 8)
+    base = FUSED_DECODE_MAX_UNTILED.get(qtype, 2048)
+    fit = int(86e6 / (26_000 + 8 * tp)) // 128 * 128
+    return max(128, min(base, fit))
 
 
 def fused_gru_decode(
@@ -455,7 +457,7 @@ def fused_gru_decode(
     plen = jnp.zeros((8, bp), jnp.int32).at[0, :b].set(prompt_lengths)
 
     if batch_tile is None:
-        batch_tile = _auto_tile(bp, FUSED_DECODE_MAX_UNTILED.get(qtype, 2048))
+        batch_tile = _auto_tile(bp, _decode_tile_limit(qtype, total_steps))
     toks, _ = _fused_decode_jit(
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, plen,
         units=u,
@@ -510,10 +512,6 @@ def _tick_kernel(
     toks_ref, srow_out_ref, h_out_ref = refs[n_in:n_in + 3]
     w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
-    if qtype == "dense" and _DENSE_NO_COPY:
-        w_use, u_use, d_use = wc_ref, uc_ref, dc_ref
-    else:
-        w_use, u_use, d_use = w_bf, u_bf, d_bf
     if enable_sampling:
         # tiled: decorrelate the per-tile sample streams (same seed on every
         # grid step would replay identical Gumbel noise across slot tiles)
@@ -522,12 +520,11 @@ def _tick_kernel(
         )
 
     def _setup_weights():
-        if qtype != "dense" or not _DENSE_NO_COPY:
-            _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
-            _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
-            _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
+        _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
+        _dequant_to(uc_ref[:], us_ref[:], u_bf, cd, qtype)
+        _dequant_to(dc_ref[:], ds_ref[:], d_bf, cd, qtype)
         proj_bf[:] = jnp.dot(
-            emb_ref[:].astype(cd), w_use[:].astype(cd),
+            emb_ref[:].astype(cd), w_bf[:].astype(cd),
             preferred_element_type=jnp.float32,
         ).astype(cd)
 
@@ -567,7 +564,7 @@ def _tick_kernel(
         # column-layout activity mask for the (B, Ku) state rows
         active_col = scol_ref[:, 0:1] < scol_ref[:, 1:2]  # (B, 1)
         pred, logits_vb = _gru_step(
-            tok, h_ref, proj_bf, u_use, d_use, b0, b1, dbias_col, sub_v,
+            tok, h_ref, proj_bf, u_bf, d_bf, b0, b1, dbias_col, sub_v,
             units=u, compute_dtype=cd, active_col=active_col,
         )
         if enable_sampling:
@@ -667,14 +664,9 @@ def _tick_call(
             jax.ShapeDtypeStruct((b, ku), jnp.float32),
         ),
         scratch_shapes=[
-            # dense mode reads the operand planes directly; its w/u/d
-            # scratch shrinks to dummies
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ke, g), cd),  # w_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ku, g), cd),  # u_bf
-            pltpu.VMEM((8, 128) if qtype == "dense" and _DENSE_NO_COPY
-                       else (ku, vp), cd),  # d_bf
+            pltpu.VMEM((ke, g), cd),       # w_bf
+            pltpu.VMEM((ku, g), cd),       # u_bf
+            pltpu.VMEM((ku, vp), cd),      # d_bf
             pltpu.VMEM((vp, g), cd),            # proj_bf
             pltpu.VMEM((bt, ku), jnp.float32),  # h
             pltpu.VMEM((8, bt), jnp.int32),     # srow (prev/pos/total/plen)
@@ -699,7 +691,8 @@ def _tick_call(
 # 1800 s (near-boundary compile blowup — treated as out of bounds). Above
 # these the auto policy grid-tiles the slot dim.
 FUSED_TICK_MAX_UNTILED = {"q8_0": 3712, "q4_0": 3584}
-TICK_SLOT_TILE = 2048   # preferred tile width for auto-tiled large-B ticks
+TICK_SLOT_TILE = 2048   # the measured-fast tile width (docs reference; the
+                        # auto policy picks the largest boundary-safe divisor)
 
 
 def _auto_slot_tile(bp: int, qtype: str, inner_steps: int = 128) -> int:
@@ -711,7 +704,7 @@ def _auto_slot_tile(bp: int, qtype: str, inner_steps: int = 128) -> int:
     limit = FUSED_TICK_MAX_UNTILED.get(qtype, 2048)
     if inner_steps > 256:
         limit = min(limit, 2048)
-    return _auto_tile(bp, limit, TICK_SLOT_TILE)
+    return _auto_tile(bp, limit)
 
 
 def _tick_slot_axis(arg_shapes):

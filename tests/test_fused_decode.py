@@ -308,9 +308,13 @@ def test_auto_slot_tile_policy():
         assert _auto_slot_tile(128, qt) == 0
         t = _auto_slot_tile(8192, qt)                   # past it: widest safe tile
         assert t == TICK_SLOT_TILE and 8192 % t == 0
-        # padded counts that TICK_SLOT_TILE doesn't divide fall to a divisor
+        # the LARGEST boundary-safe 128-multiple divisor is picked (3840 ->
+        # 1920, not a narrow power of two)
         t2 = _auto_slot_tile(3840, qt)
-        assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
+        assert t2 == 1920 and 3840 % t2 == 0 and t2 <= limit
+        # long ticks fall back to the always-safe 2048 boundary, so 3072
+        # tiles at its largest divisor under 2048
+        assert _auto_slot_tile(3072, qt, inner_steps=512) == 1536
 
 
 def test_fused_decode_batch_tiled_matches_untiled(qparams):
@@ -347,8 +351,18 @@ def test_auto_decode_tile_policy():
         assert _auto_tile(128, limit) == 0
         t = _auto_tile(8192, limit)               # past it: widest safe tile
         assert t == 2048 and 8192 % t == 0
-        t2 = _auto_tile(3840, limit)              # falls to a divisor
-        assert t2 in (1024, 512, 256, 128) and 3840 % t2 == 0 and t2 <= limit
+        t2 = _auto_tile(3840, limit)              # largest 128-multiple divisor
+        assert t2 == 1920 and 3840 % t2 == 0 and t2 <= limit
+
+
+def test_decode_tile_limit_scales_with_T():
+    from ggml_experiments_tpu.ops.fused_gru_decode import _decode_tile_limit
+
+    assert _decode_tile_limit("q8_0", 512) == 2048     # the measured point
+    assert _decode_tile_limit("q8_0", 256) == 2048     # capped at the base
+    long = _decode_tile_limit("q8_0", 4096)            # long decodes shrink
+    assert 128 <= long < 2048
+    assert _decode_tile_limit("q8_0", 10**6) == 128    # floor
 
 
 def test_fused_slot_tick_dense_path_matches_scan_tick():
