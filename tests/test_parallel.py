@@ -304,3 +304,50 @@ def test_fused_gru_train_batch_sharded(mesh):
             np.asarray(a, np.float32), np.asarray(c, np.float32),
             rtol=1e-4, atol=1e-4,
         )
+
+
+def test_fused_slot_tick_sharded_and_tiled(mesh):
+    """The two tick grid features compose: slot-sharding over a mesh axis
+    AND slot-tiling within each shard (the auto policy tiles from the LOCAL
+    slot width, so a per-shard tile must reproduce the unsharded untiled
+    tick token-for-token)."""
+    import dataclasses
+
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.serving.engine import init_state
+
+    rng = np.random.default_rng(11)
+    qp = gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray(rng.standard_normal((66, 32)) * 0.05, jnp.float32),
+        cell=dataclasses.replace(
+            gru_textgen.init_params(CFG, jax.random.PRNGKey(2)).cell,
+            kernel=quant.quantize(rng.standard_normal((32, 192)).astype(np.float32), "q8_0"),
+            recurrent_kernel=quant.quantize(
+                rng.standard_normal((64, 192)).astype(np.float32), "q8_0"),
+        ),
+        dense_kernel=quant.quantize(
+            rng.standard_normal((64, 66)).astype(np.float32), "q8_0"),
+        dense_bias=jnp.zeros((66,), jnp.float32),
+    )
+    n_slots, max_prompt, inner = 512, 8, 16
+    prompt = np.zeros((n_slots, max_prompt), np.int32)
+    plen = np.zeros((n_slots,), np.int32)
+    for i in range(n_slots):
+        n = int(rng.integers(1, max_prompt))
+        prompt[i, :n] = rng.integers(0, 66, n)
+        plen[i] = n
+
+    def fresh():
+        return dataclasses.replace(
+            init_state(qp, n_slots, max_prompt),
+            prompt=jnp.asarray(prompt), plen=jnp.asarray(plen),
+            total=jnp.full((n_slots,), 40, jnp.int32),
+        )
+
+    s_ref, toks_ref = fused_slot_tick(qp, fresh(), inner, slot_tile=0)
+    s_st, toks_st = fused_slot_tick(
+        qp, fresh(), inner, mesh=mesh, slot_axis=MODEL_AXIS, slot_tile=64,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_st), np.asarray(toks_ref))
+    np.testing.assert_allclose(np.asarray(s_st.h), np.asarray(s_ref.h),
+                               atol=1e-5, rtol=1e-5)
