@@ -22,7 +22,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REQ_TOKENS = 292   # same request shape as bench.py's serving scenario
-INNER = 128
+INNER = 128        # default; --inner overrides (bigger ticks amortize the
+                   # per-tick tunnel readback latency)
 
 
 def log(msg):
@@ -129,7 +130,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", default="1024,2048")
     ap.add_argument("--depths", default="8,16")
+    ap.add_argument("--inner", type=int, default=128)
     args = ap.parse_args()
+    global INNER
+    INNER = args.inner
 
     import jax
 
