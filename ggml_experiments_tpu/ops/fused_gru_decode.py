@@ -473,6 +473,26 @@ def fused_gru_decode(
 # Resumable slot tick: the serving engine's inner loop on the fused kernel
 # ---------------------------------------------------------------------------
 
+def _hash_bits_u32(seed, j, shape):
+    """Stateless splitmix-style 32-bit hash lattice over (row, col) — the
+    interpret-mode stand-in for ``pltpu.prng_random_bits`` (which has no
+    interpret lowering). Distinct (seed, step, row, col) tuples map to
+    decorrelated bits. This is NOT the TPU hardware stream and is not meant
+    to match it: sample streams are layout-dependent by contract (the tick
+    docstring), only the per-step *distribution* is pinned."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + j.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         + r * jnp.uint32(0xC2B2AE35) + c * jnp.uint32(0x27D4EB2F))
+    for mult in (0x2C1B3C6D, 0x297A2D39):
+        x = x ^ (x >> jnp.uint32(15))
+        x = x * jnp.uint32(mult)
+    x = x ^ (x >> jnp.uint32(16))
+    # int32 bit pattern: what pltpu.prng_random_bits' consumer shifts
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
 def _tick_kernel(
     # inputs (weights as in _kernel, then per-slot state; with sampling two
     # extra operands follow h: ftemp (8, B) f32 and seed (1,) int32 in SMEM)
@@ -483,6 +503,7 @@ def _tick_kernel(
     qtype: str,
     enable_sampling: bool = False,
     tiled: bool = False,
+    interp_prng: bool = False,
 ):
     """One serving tick: advance every slot ``inner_steps`` tokens, resuming
     from (h, prev, pos) and honouring per-slot prompt/total cursors.
@@ -501,8 +522,11 @@ def _tick_kernel(
     PRNG and the Gumbel-argmax identity (categorical(softmax(l/t)) ==
     argmax(l/t + gumbel)): the (Vp, B) noise never exists outside VMEM and
     the sampled argmax reuses the greedy min-index reduction. temp <= 0
-    slots stay exactly greedy. TPU-only (pltpu.prng_* has no interpret
-    lowering), so sampling engines fall back to the scan tick off-TPU.
+    slots stay exactly greedy. ``interp_prng`` swaps pltpu.prng_* (no
+    interpret lowering) for a stateless hash lattice so the sampled tick —
+    including its slot-sharded multi-process form — runs under the Pallas
+    interpreter on simulated CPU meshes; the two streams differ but both
+    draw the pinned per-step distribution.
     """
     (emb_ref, wc_ref, ws_ref, uc_ref, us_ref, bias_ref, dc_ref, ds_ref,
      dbias_ref, prompt_ref, srow_in_ref, scol_in_ref, h_in_ref) = refs[:13]
@@ -513,11 +537,16 @@ def _tick_kernel(
     w_bf, u_bf, d_bf, proj_bf, h_ref, srow_ref, scol_ref = refs[n_in + 3:]
     cd = compute_dtype
     if enable_sampling:
-        # tiled: decorrelate the per-tile sample streams (same seed on every
-        # grid step would replay identical Gumbel noise across slot tiles)
-        pltpu.prng_seed(
-            seed_ref[0] + pl.program_id(0) if tiled else seed_ref[0]
-        )
+        # mix the tick seed with this block's first GLOBAL slot index
+        # (srow row 4, stamped by _fused_slot_tick_jit): every slot tile of
+        # the sequential grid AND every shard of a slot-partitioned tick
+        # draws a distinct sample stream. A bare replicated seed would
+        # replay identical Gumbel noise across tiles/shards — the round-3
+        # reason sampled multi-process serving was forced onto the scan.
+        slot0 = jnp.min(srow_in_ref[4:5, :])
+        if not interp_prng:
+            pltpu.prng_seed(seed_ref[0], slot0)
+        seed_mix = seed_ref[0] + slot0 * jnp.int32(7919)
 
     def _setup_weights():
         _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
@@ -570,11 +599,19 @@ def _tick_kernel(
         if enable_sampling:
             temp = ftemp_ref[0:1, :]                      # (1, B)
             inv_t = 1.0 / jnp.maximum(temp, 1e-6)
-            bits = pltpu.prng_random_bits((vp, b))
+            if interp_prng:
+                bits = _hash_bits_u32(seed_mix, j, (vp, b))
+            else:
+                bits = pltpu.prng_random_bits((vp, b))
+            # 23-bit uniforms: (k + 0.5) * 2^-23 for k < 2^23 is EXACT in f32
+            # and strictly inside (0, 1). 24 bits would hit u01 == 1.0 with
+            # p = 2^-24 per draw (16777215.5 rounds-to-even to 2^24), making
+            # the Gumbel +inf so a NEG pad row wins argmax — observed ~1 in
+            # 26M draws as an out-of-vocab token before this was tightened.
             u01 = (
-                jax.lax.shift_right_logical(bits, 8).astype(jnp.int32).astype(jnp.float32)
+                jax.lax.shift_right_logical(bits, 9).astype(jnp.int32).astype(jnp.float32)
                 + 0.5
-            ) * (1.0 / (1 << 24))                         # (0, 1) exclusive
+            ) * (1.0 / (1 << 23))                         # (0, 1) exclusive
             gumbel = -jnp.log(-jnp.log(u01))
             scored = logits_vb * inv_t + gumbel           # NEG pad rows never win
             ms = jnp.max(scored, axis=0, keepdims=True)
@@ -635,6 +672,7 @@ def _tick_call(
     kernel = functools.partial(
         _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd,
         qtype=qtype, enable_sampling=enable_sampling, tiled=tiled,
+        interp_prng=_default_interpret(),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     if tiled:
@@ -769,10 +807,13 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
     state_in = "p b, r1 b, b c0, b k3"
     rule = f"{weights}, {state_in}"
     repl = ["v", "e", "k0", "g", "s0", "k1", "s1", "r0", "k2", "w", "s2",
-            "v2", "x", "p", "r1", "c0", "k3", "t"]
+            "v2", "x", "p", "r1", "c0", "k3"]
     if enable_sampling:
         rule += ", r2 b, i"
+        # sdy requires need_replication factors sorted by first-appearance
+        # index: r2/i enter in the operand list, before the output-only t
         repl += ["r2", "i"]
+    repl += ["t"]
     rule += " -> t b, r1 b, b k3"
     fn.def_partition(
         partition,
@@ -832,6 +873,9 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
     srow = jnp.zeros((8, bp), jnp.int32)
     srow = srow.at[0, :b].set(state.prev).at[1, :b].set(state.pos)
     srow = srow.at[2, :b].set(state.total).at[3, :b].set(state.plen)
+    # row 4: global slot index — each tile/shard block carries its own slot
+    # offset, the kernel's per-block PRNG decorrelator (see _tick_kernel)
+    srow = srow.at[4, :].set(jnp.arange(bp, dtype=jnp.int32))
     scol = jnp.zeros((bp, 128), jnp.int32)
     scol = scol.at[:b, 0].set(state.pos).at[:b, 1].set(state.total)
     h = jnp.zeros((bp, ku), jnp.float32).at[:b, :u].set(state.h)
@@ -891,11 +935,15 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     token-exact with the scan tick at matched compute dtype (tested).
 
     ``enable_sampling=True`` samples slots with ``state.temp > 0`` at their
-    temperature via in-kernel Gumbel-argmax (TPU-only: the on-core PRNG has
-    no interpret lowering; temp <= 0 slots stay exactly greedy). ``seed``
-    reseeds the PRNG per tick — pass the engine's deterministic tick seed.
-    The sample stream differs from the scan tick's jax.random stream; both
-    are valid draws from the same per-step distribution.
+    temperature via in-kernel Gumbel-argmax (on-core PRNG on real TPUs; a
+    stateless hash lattice under the Pallas interpreter, where pltpu.prng_*
+    has no lowering; temp <= 0 slots stay exactly greedy). ``seed`` reseeds
+    the PRNG per tick — pass the engine's deterministic tick seed; each
+    slot tile and each slot shard mixes in its first global slot index, so
+    tiled/sharded streams stay decorrelated. The sample stream differs from
+    the scan tick's jax.random stream (and is layout-dependent: tiling or
+    sharding the slot dim re-draws it); every variant samples the same
+    per-step distribution, and a given (config, seed) replays exactly.
 
     ``mesh``/``slot_axis``: shard the tick's slot dim over that mesh axis
     (each device ticks only its local slots; outputs return replicated) —

@@ -339,10 +339,10 @@ class DecodeEngine:
         # with the scan tick at matched dtype for greedy, ~1.8x faster
         # device-side at the measured thresholds (B >= 512, inner >= 128,
         # where the per-call VMEM weight setup amortizes). Temperature
-        # sampling runs in-kernel too (Gumbel-argmax on the on-core PRNG) —
-        # TPU-only, since pltpu.prng_* has no interpret lowering — but
-        # top_k/top_p filtering and multi-process meshes stay on the scan
-        # path.
+        # sampling runs in-kernel too (Gumbel-argmax on the on-core PRNG;
+        # a hash-lattice fallback under the Pallas interpreter), including
+        # on multi-process meshes (per-shard seed decorrelation) — only
+        # top_k/top_p filtering stays on the scan path.
         from ggml_experiments_tpu.ops.fused_gru_decode import is_fusable_params
 
         quantized = is_fusable_params(params)
@@ -357,37 +357,38 @@ class DecodeEngine:
         if use_fused_tick is None:
             # auto only on real TPUs: off-TPU the kernel would run under the
             # Pallas interpreter (or not lower at all), far slower than scan.
-            # Multi-process engines route through the fused tick too (greedy
-            # only: the in-kernel PRNG would seed identically on every slot
-            # shard, correlating sample streams across shards), provided the
-            # params carry a global mesh for the kernel's slot partitioning.
+            # Multi-process engines route through the fused tick too —
+            # sampled included: each slot shard mixes its global slot offset
+            # into the in-kernel PRNG seed, decorrelating the per-shard
+            # streams — provided the params carry a global mesh for the
+            # kernel's slot partitioning.
             use_fused_tick = (
                 quantized
                 and on_tpu
                 and sampling_fusable
                 and n_slots >= 512
                 and inner_steps >= 128
-                and (not multiproc
-                     or (self._mesh is not None and not self.sampling_enabled))
+                and (not multiproc or self._mesh is not None)
             )
         elif use_fused_tick:
             if self.sampling_enabled and (top_k is not None or top_p is not None):
                 raise ValueError("use_fused_tick has no top_k/top_p path — "
                                  "filtered sampling requires the scan tick")
             if self.sampling_enabled and not on_tpu:
-                raise ValueError("sampled use_fused_tick needs a TPU backend "
-                                 "(the in-kernel PRNG has no interpret mode)")
+                from ggml_experiments_tpu.quant.pallas_kernels import (
+                    _default_interpret,
+                )
+
+                if not _default_interpret():
+                    raise ValueError(
+                        "sampled use_fused_tick needs a TPU backend or the "
+                        "Pallas interpreter (the in-kernel PRNG falls back "
+                        "to a hash lattice only under interpret mode)"
+                    )
             if not quantized:
                 raise ValueError("use_fused_tick requires block-quantized "
                                  "params (q8_0/q4_0/q4_1/q5_0/q5_1 QTensors "
                                  "for cell and dense)")
-            if multiproc and self.sampling_enabled:
-                raise ValueError(
-                    "multi-process use_fused_tick is greedy-only: the "
-                    "in-kernel PRNG seeds identically on every slot shard, "
-                    "correlating sample streams — sampling engines tick "
-                    "through the scan"
-                )
             if multiproc and self._mesh is None:
                 raise ValueError("multi-process use_fused_tick requires "
                                  "params placed on a global mesh")

@@ -66,6 +66,8 @@ def main():
         out.update(run_serve(mesh))  # continuous batching, TP across hosts
     elif scenario == "fused_serve":
         out.update(run_fused_serve(mesh))
+    elif scenario == "sampled_fused_serve":
+        out.update(run_fused_serve(mesh, sampled=True))
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 
@@ -152,13 +154,20 @@ def run_serve(mesh):
     return {"tokens": results, "device_steps": eng.stats.device_steps}
 
 
-def run_fused_serve(mesh):
+def run_fused_serve(mesh, sampled=False):
     """Continuous batching across processes THROUGH THE FUSED TICK KERNEL
     (VERDICT r2 #5): quantized params replicated on the global mesh, the
     engine routes ticks through ops/fused_gru_decode.fused_slot_tick with
     its slot axis sharded over 'data' (each process's devices tick only
     their local slots; outputs all-gather back). Interpret mode on CPU;
-    tokens must match the single-process offline decode exactly."""
+    tokens must match the single-process offline decode exactly.
+
+    ``sampled=True`` builds a sampling-enabled engine (VERDICT r3: sampled
+    multi-process serving no longer falls back to the scan tick — each slot
+    shard mixes its global slot offset into the in-kernel PRNG seed): a
+    temp=0 request stays token-exact vs the oracle, identical sampled
+    requests decorrelate, and a state digest checks every process computed
+    the SAME replicated sample streams (SPMD divergence would split them)."""
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -186,22 +195,36 @@ def run_fused_serve(mesh):
 
     # f32 compute: token-exact vs the single-process f32 scan oracle
     eng = DecodeEngine(qp, n_slots=4, max_prompt=16, inner_steps=8,
-                       compute_dtype=jnp.float32, use_fused_tick=True)
-    specs = [([5, 9, 13], 20), ([2], 15), ([11, 3], 18)]
+                       compute_dtype=jnp.float32, use_fused_tick=True,
+                       enable_sampling=sampled, seed=11)
+    if sampled:
+        # temps: one greedy exactness anchor + two identical sampled prompts
+        specs = [([5, 9, 13], 20, 0.0), ([2, 4], 15, 1.0), ([2, 4], 15, 1.0)]
+    else:
+        specs = [([5, 9, 13], 20, 0.0), ([2], 15, 0.0), ([11, 3], 18, 0.0)]
     handles = []
     if is_primary():
-        for prompt, new in specs:
-            handles.append(eng.submit(prompt, new))
+        for prompt, new, temp in specs:
+            handles.append(
+                eng.submit(prompt, new, temperature=temp) if sampled
+                else eng.submit(prompt, new)
+            )
     eng.run_until_idle(timeout_s=300)
     results = {}
     if is_primary():
-        for (prompt, new), h in zip(specs, handles):
-            results[str(tuple(prompt))] = [int(t) for t in h.result(timeout=5)]
+        for i, ((prompt, new, _t), h) in enumerate(zip(specs, handles)):
+            results[f"{i}:{tuple(prompt)}"] = [int(t) for t in h.result(timeout=5)]
+    # replicated device state digest: every process must have advanced the
+    # SAME streams (sampled SPMD divergence would split prev/h across hosts)
+    digest = int(np.asarray(eng.state.prev).sum()) + int(
+        np.round(float(np.abs(np.asarray(eng.state.h)).sum()) * 1e3)
+    )
     return {
         "tokens": results,
         "device_steps": eng.stats.device_steps,
         "fused": eng.use_fused_tick,
         "slot_axis": eng._fused_slot_axis,
+        "state_digest": digest,
     }
 
 

@@ -402,3 +402,91 @@ def test_fused_slot_tick_dense_path_matches_scan_tick():
                                       err_msg=f"tick {tick}")
         np.testing.assert_allclose(np.asarray(s_f.h), np.asarray(s_s.h),
                                    atol=1e-5, rtol=1e-5)
+
+
+def _sampled_state(params, n_slots, max_prompt=8, greedy_head=2, temp=0.9):
+    """Identical prompt/total on every slot (the decorrelation worst case);
+    the first ``greedy_head`` slots run temp=0 (exactness anchors)."""
+    import dataclasses
+
+    from ggml_experiments_tpu.serving.engine import init_state
+
+    prompt = np.zeros((n_slots, max_prompt), np.int32)
+    prompt[:, :2] = [5, 9]
+    temps = np.full(n_slots, temp, np.float32)
+    temps[:greedy_head] = 0.0
+    return dataclasses.replace(
+        init_state(params, n_slots, max_prompt),
+        prompt=jnp.asarray(prompt),
+        plen=jnp.full((n_slots,), 2, jnp.int32),
+        total=jnp.full((n_slots,), 34, jnp.int32),
+        temp=jnp.asarray(temps),
+    )
+
+
+def test_fused_tick_sampling_interpret():
+    """The sampled fused tick runs under the Pallas interpreter (hash-lattice
+    PRNG fallback — pltpu.prng_* has no interpret lowering): temp=0 slots
+    stay token-exact vs the scan tick, sampled slots draw valid,
+    deterministic, per-slot-decorrelated tokens."""
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.serving.engine import _slot_scan
+
+    params = _requantized(("q8_0", "q8_0", "q8_0"), seed=17)
+    inner = 16
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    s = _sampled_state(params, 8)
+    _, toks_scan, _v = scan(params, s, np.int32(0), inner,
+                            compute_dtype=jnp.float32)
+    sc = np.asarray(toks_scan)
+
+    def run(**kw):
+        st = jax.tree.map(jnp.array, _sampled_state(params, 8))
+        _, toks = fused_slot_tick(params, st, inner, compute_dtype=jnp.float32,
+                                  enable_sampling=True, seed=7, **kw)
+        return np.asarray(toks)
+
+    a = run()
+    np.testing.assert_array_equal(a, run())          # (config, seed) replays
+    np.testing.assert_array_equal(a[:2], sc[:2])     # greedy slots exact
+    assert a.max() < 66                              # valid token range
+    sampled = a[2:]
+    assert not all(np.array_equal(sampled[0], sampled[i]) for i in range(1, 6))
+
+
+def test_fused_tick_sampling_decorrelates_tiles_and_shards():
+    """Per-block PRNG seeds mix the block's first global slot index: slot
+    tiles of the sequential grid and shards of a slot-partitioned tick draw
+    distinct sample streams even from identical slot state (the round-3
+    reason sampled multi-process serving was forced onto the scan tick)."""
+    from jax.sharding import Mesh
+
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.serving.engine import _slot_scan
+
+    params = _requantized(("q8_0", "q8_0", "q8_0"), seed=17)
+    inner = 16
+
+    def run(**kw):
+        st = jax.tree.map(jnp.array, _sampled_state(params, 128, greedy_head=1))
+        _, toks = fused_slot_tick(params, st, inner, compute_dtype=jnp.float32,
+                                  enable_sampling=True, seed=7, **kw)
+        return np.asarray(toks)
+
+    tiled = run(slot_tile=64)
+    assert tiled.max() < 66
+    # slots 1 and 65 carry identical state in different tiles
+    assert not np.array_equal(tiled[1], tiled[65]), "tile streams correlated"
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    sh = run(mesh=mesh, slot_axis="data")
+    np.testing.assert_array_equal(sh, run(mesh=mesh, slot_axis="data"))
+    assert sh.max() < 66
+    # 128 padded slots over 8 shards: slots 1, 17, 33 sit in distinct shards
+    assert not np.array_equal(sh[1], sh[17]), "shard streams correlated"
+    assert not np.array_equal(sh[17], sh[33]), "shard streams correlated"
+    # greedy slot 0 stays exact under sharding
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    _, toks_scan, _v = scan(params, _sampled_state(params, 128, greedy_head=1),
+                            np.int32(0), inner, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(sh[0], np.asarray(toks_scan)[0])

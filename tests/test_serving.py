@@ -334,9 +334,10 @@ def test_engine_fused_tick_guards(params):
         DecodeEngine(params, n_slots=2, max_prompt=8, use_fused_tick=True)
 
 
-def test_fused_tick_sampling_guards_on_cpu(params):
-    """In-kernel sampling is TPU-only: forcing it on CPU raises; auto keeps
-    sampling engines on the scan tick off-TPU."""
+def test_fused_tick_sampling_on_cpu(params):
+    """Sampled fused ticks run off-TPU via the interpret-mode hash-lattice
+    PRNG (forcing them used to raise); filtered sampling still raises, and
+    auto routing still keeps every off-TPU engine on the scan tick."""
     from ggml_experiments_tpu.quant import quantize as q
 
     import dataclasses
@@ -350,15 +351,21 @@ def test_fused_tick_sampling_guards_on_cpu(params):
         ),
         dense_kernel=q(np.asarray(params.dense_kernel), "q8_0"),
     )
-    with pytest.raises(ValueError, match="TPU backend"):
-        DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
-                     use_fused_tick=True)
+    eng = DecodeEngine(qparams, n_slots=2, max_prompt=8, inner_steps=4,
+                       temperature=0.8, seed=5, use_fused_tick=True)
+    greedy = eng.submit([5, 6], 12, temperature=0.0)
+    sampled = eng.submit([5, 6], 12, temperature=1.1)
+    eng.run_until_idle()
+    want = offline(qparams, [5, 6], 2 + 12)
+    np.testing.assert_array_equal(greedy.result(timeout=1), want)
+    out = sampled.result(timeout=1)
+    assert len(out) == 2 + 12 and all(0 <= t < 66 for t in out)
     with pytest.raises(ValueError, match="top_k"):
         DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
                      top_k=5, use_fused_tick=True)
-    eng = DecodeEngine(qparams, n_slots=512, max_prompt=8, inner_steps=128,
-                       temperature=0.8)
-    assert not eng.use_fused_tick  # auto: sampling + CPU backend -> scan
+    eng2 = DecodeEngine(qparams, n_slots=512, max_prompt=8, inner_steps=128,
+                        temperature=0.8)
+    assert not eng2.use_fused_tick  # auto: off-TPU -> scan
 
 
 def test_deep_fetch_pipeline_soak(params):
