@@ -95,7 +95,8 @@ def device_tick_rate(params, n_slots):
     }
 
 
-def e2e_session(params, n_slots, fetch_depth, fetch_async=False):
+def e2e_session(params, n_slots, fetch_depth, fetch_async=False,
+                temperature=0.0):
     import jax.numpy as jnp
     import numpy as np
 
@@ -104,14 +105,17 @@ def e2e_session(params, n_slots, fetch_depth, fetch_async=False):
     rng = np.random.default_rng(2)
     eng = DecodeEngine(params, n_slots=n_slots, max_prompt=16,
                        inner_steps=INNER, compute_dtype=jnp.bfloat16,
-                       fetch_depth=fetch_depth, fetch_async=fetch_async)
+                       fetch_depth=fetch_depth, fetch_async=fetch_async,
+                       temperature=temperature, seed=3)
     # warm: compile + cache the tick program
     for _ in range(max(64, n_slots // 8)):
-        eng.submit(rng.integers(0, 66, 8).astype(np.int32), 120)
+        eng.submit(rng.integers(0, 66, 8).astype(np.int32), 120,
+                   temperature=temperature)
     eng.run_until_idle(timeout_s=2400)
     eng.stats = eng.stats.__class__()  # fresh accumulators for the timed run
     for _ in range(n_slots * 2):
-        eng.submit(rng.integers(0, 66, 8).astype(np.int32), REQ_TOKENS)
+        eng.submit(rng.integers(0, 66, 8).astype(np.int32), REQ_TOKENS,
+                   temperature=temperature)
     t0 = time.perf_counter()
     eng.run_until_idle(timeout_s=2400)
     wall = time.perf_counter() - t0
@@ -131,6 +135,8 @@ def main():
     ap.add_argument("--slots", default="1024,2048")
     ap.add_argument("--depths", default="8,16")
     ap.add_argument("--inner", type=int, default=128)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="submit sampled requests (sampled fused tick path)")
     args = ap.parse_args()
     global INNER
     INNER = args.inner
@@ -143,13 +149,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     params, cfg = make_params()
-    report = {"inner_steps": INNER, "req_tokens": REQ_TOKENS, "configs": []}
+    report = {"inner_steps": INNER, "req_tokens": REQ_TOKENS,
+              "temperature": args.temperature, "configs": []}
     for n_slots in [int(s) for s in args.slots.split(",")]:
         dev = device_tick_rate(params, n_slots)
         log(f"device tick B={n_slots}: {dev}")
         for depth in [int(d) for d in args.depths.split(",")]:
             for fetch_async in (False, True):
-                e2e = e2e_session(params, n_slots, depth, fetch_async)
+                e2e = e2e_session(params, n_slots, depth, fetch_async,
+                                  temperature=args.temperature)
                 frac = e2e["tokens_per_s"] / dev["tokens_per_s"]
                 row = {"n_slots": n_slots, "fetch_depth": depth,
                        "fetch_async": fetch_async, "device": dev, "e2e": e2e,
