@@ -191,6 +191,42 @@ def cmd_quantize(args) -> int:
     from ggml_experiments_tpu.formats.gru_bin import load_gru_params
 
     qtype = args.qtype or "q8_0"
+    if qtype == "q4_k_m" or args.calibrate:
+        # calibrated recipe: GPTQ-compensated q4_k gates + q8_0 vocab head
+        # (quant/calibration.py) — requires calibration text and a GRU input
+        if not args.input.endswith(".bin"):
+            print("--qtype q4_k_m / --calibrate currently supports GRU "
+                  "(.bin) inputs; vision uses per-tensor qtypes", file=sys.stderr)
+            return 2
+        if not args.calibrate:
+            print("--qtype q4_k_m needs --calibrate CORPUS.txt "
+                  "(calibration text, e.g. the training corpus)", file=sys.stderr)
+            return 2
+        from ggml_experiments_tpu.quant import calibration
+        from ggml_experiments_tpu.training.data import (
+            DataConfig, load_corpus, make_examples,
+        )
+        from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+        base = load_gru_params(args.input)
+        ex = make_examples(load_corpus(args.calibrate), CharTokenizer(),
+                           DataConfig(seq_length=100))
+        sel = np.random.default_rng(0).permutation(len(ex))[: args.calibrate_seqs]
+        if qtype == "q4_k_m":
+            tree = calibration.gptq_gru_params(base, ex[sel])
+        else:
+            tree = calibration.calibrated_gru_params(base, ex[sel], qtype=qtype)
+        checkpoint.save(args.output, tree)
+        qts = [tree.cell.kernel, tree.cell.recurrent_kernel, tree.dense_kernel]
+        bits = 8.0 * sum(t.nbytes for t in qts) / sum(
+            t.shape[0] * t.shape[1] for t in qts)
+        ratio = os.path.getsize(args.input) / os.path.getsize(args.output)
+        print(json.dumps({
+            "input": args.input, "output": args.output, "qtype": qtype,
+            "calibrated": True, "bits_per_weight": round(bits, 3),
+            "compression_vs_input": round(ratio, 2),
+        }))
+        return 0
     if args.input.endswith(".bin"):
         tree = load_gru_params(args.input, qtype=qtype)
     else:
@@ -200,8 +236,6 @@ def cmd_quantize(args) -> int:
         named = read_named_tensors(args.input)
         tree = from_named_tensors(named, infer_config(named), qtype=qtype)
     checkpoint.save(args.output, tree)
-    import os
-
     ratio = os.path.getsize(args.input) / os.path.getsize(args.output)
     print(json.dumps({
         "input": args.input, "output": args.output, "qtype": qtype,
@@ -601,10 +635,23 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(c)
     c.set_defaults(fn=cmd_classify)
 
-    q = sub.add_parser("quantize", help="offline fp32 -> Q8_0/Q4_0 native checkpoint")
+    q = sub.add_parser(
+        "quantize",
+        help="offline fp32 -> block-quantized native checkpoint "
+             "(q8_0/q4_0/.../q4_k; q4_k_m = calibrated GPTQ recipe)")
     q.add_argument("--input", required=True, help="gru.bin or weight.ggml")
     q.add_argument("--output", required=True, help="output .gxt path")
+    q.add_argument("--calibrate", default=None, metavar="CORPUS",
+                   help="calibration text file: activation-aware (GPTQ-"
+                        "compensated) quantization of GRU weights")
+    q.add_argument("--calibrate-seqs", type=int, default=384,
+                   help="calibration sequences sampled from the corpus")
     _add_common(q)
+    # the calibrated mixed recipe is a quantize-time option, not a QTensor
+    # format: GPTQ q4_k gates + q8_0 head (quant/calibration.gptq_gru_params)
+    for a in q._actions:
+        if a.dest == "qtype":
+            a.choices = list(a.choices) + ["q4_k_m"]
     q.set_defaults(fn=cmd_quantize)
 
     s = sub.add_parser("serve", help="interactive continuous-batching text service")

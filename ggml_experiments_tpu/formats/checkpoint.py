@@ -92,6 +92,8 @@ def save(path: str, tree: Any) -> None:
                 add(name + ".mins", leaf.mins, {"quant": meta})
             if leaf.hibits is not None:
                 add(name + ".hibits", leaf.hibits, {"quant": meta})
+            if leaf.supers is not None:
+                add(name + ".supers", leaf.supers, {"quant": meta})
         else:
             # (None never appears here: it is an empty pytree, not a leaf —
             # load_into templates re-supply structural Nones)
@@ -152,6 +154,7 @@ def load_arrays(path: str) -> Dict[str, Any]:
             q = meta[name]
             mins = raw.get(stem + ".mins")
             hibits = raw.get(stem + ".hibits")
+            supers = raw.get(stem + ".supers")
             out[stem] = QTensor(
                 codes=jnp.asarray(raw[stem + ".codes"]),
                 scales=jnp.asarray(raw[stem + ".scales"]),
@@ -159,10 +162,12 @@ def load_arrays(path: str) -> Dict[str, Any]:
                 qtype=q["qtype"],
                 mins=None if mins is None else jnp.asarray(mins),
                 hibits=None if hibits is None else jnp.asarray(hibits),
+                supers=None if supers is None else jnp.asarray(supers),
             )
-            done.update({stem + ".scales", stem + ".mins", stem + ".hibits"})
+            done.update({stem + ".scales", stem + ".mins", stem + ".hibits",
+                         stem + ".supers"})
         elif (
-            name.endswith((".scales", ".mins", ".hibits")) and name in meta
+            name.endswith((".scales", ".mins", ".hibits", ".supers")) and name in meta
         ):
             continue  # paired with .codes
         else:

@@ -254,7 +254,7 @@ def _fused_decode_jit(
     return toks, h_out
 
 
-_FUSABLE_QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")
+_FUSABLE_QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "q4_k")
 
 # Dense-path plane cache: the in-graph dequant would otherwise re-run on
 # EVERY decode call / serving tick (q8_0's in-jit prep is cheap slicing;
@@ -303,7 +303,7 @@ def _densify(params):
 def is_fusable_params(params) -> bool:
     """True iff the fused decode kernels can run these GRU params: all three
     weight matrices QTensors of any supported block format (q8_0/q4_0 keep
-    their codes quantized in the kernel's VMEM setup; q4_1/q5_0/q5_1 and
+    their codes quantized in the kernel's VMEM setup; q4_1/q5_0/q5_1/q4_k and
     mixed-qtype params dequantize in-graph and ride the 'dense' plane path)."""
     cell = params.cell
     return (
@@ -473,18 +473,30 @@ def fused_gru_decode(
 # Resumable slot tick: the serving engine's inner loop on the fused kernel
 # ---------------------------------------------------------------------------
 
-def _hash_bits_u32(seed, j, shape):
+def _hash_bits_u32(seed, j, shape, slot0=None):
     """Stateless splitmix-style 32-bit hash lattice over (row, col) — the
     interpret-mode stand-in for ``pltpu.prng_random_bits`` (which has no
-    interpret lowering). Distinct (seed, step, row, col) tuples map to
-    decorrelated bits. This is NOT the TPU hardware stream and is not meant
-    to match it: sample streams are layout-dependent by contract (the tick
-    docstring), only the per-step *distribution* is pinned."""
+    interpret lowering). Distinct (seed, step, row, col[, slot0]) tuples map
+    to decorrelated bits — ``slot0`` (a block's first global slot index)
+    enters as its own hashed operand, mirroring the TPU path's two-operand
+    ``pltpu.prng_seed(seed, slot0)`` (a linear seed+slot0*c fold would make
+    (slot0=s, step t) collide with (slot0=s+k, step t-ck)). This is NOT the
+    TPU hardware stream and is not meant to match it: sample streams are
+    layout-dependent by contract (the tick docstring), only the per-step
+    *distribution* is pinned."""
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
     x = (seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
          + j.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
          + r * jnp.uint32(0xC2B2AE35) + c * jnp.uint32(0x27D4EB2F))
+    if slot0 is not None:
+        # avalanche BEFORE folding slot0 in: adding it to the still-linear
+        # base would just be another linear term (the collision family the
+        # round-4 advisor flagged); hashing first leaves no (j, slot0)
+        # lattice structure to collide along
+        x = x ^ (x >> jnp.uint32(13))
+        x = x * jnp.uint32(0xD168AAAD)
+        x = x + slot0.astype(jnp.uint32) * jnp.uint32(0x165667B1)
     for mult in (0x2C1B3C6D, 0x297A2D39):
         x = x ^ (x >> jnp.uint32(15))
         x = x * jnp.uint32(mult)
@@ -546,7 +558,6 @@ def _tick_kernel(
         slot0 = jnp.min(srow_in_ref[4:5, :])
         if not interp_prng:
             pltpu.prng_seed(seed_ref[0], slot0)
-        seed_mix = seed_ref[0] + slot0 * jnp.int32(7919)
 
     def _setup_weights():
         _dequant_to(wc_ref[:], ws_ref[:], w_bf, cd, qtype)
@@ -600,7 +611,7 @@ def _tick_kernel(
             temp = ftemp_ref[0:1, :]                      # (1, B)
             inv_t = 1.0 / jnp.maximum(temp, 1e-6)
             if interp_prng:
-                bits = _hash_bits_u32(seed_mix, j, (vp, b))
+                bits = _hash_bits_u32(seed_ref[0], j, (vp, b), slot0=slot0)
             else:
                 bits = pltpu.prng_random_bits((vp, b))
             # 23-bit uniforms: (k + 0.5) * 2^-23 for k < 2^23 is EXACT in f32

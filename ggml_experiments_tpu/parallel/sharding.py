@@ -70,6 +70,11 @@ def qtensor_sharding(mesh: Mesh, qt: QTensor, spec: P) -> QTensor:
             n *= mesh.shape[a]
         return n
 
+    # q4_k's supers plane is stacked halves (d rows then m rows): a row shard
+    # would split the halves across devices, so q4_k always sanitizes to
+    # column-parallel (N is lane-padded and always divides)
+    if qt.qtype == "q4_k":
+        row = None  # falls through to the column-parallel sanitization below
     if row is not None and qt.kp % (BLOCK * _axis_size(row)) == 0:
         eff = P(row, col)
     elif axes:
@@ -84,6 +89,7 @@ def qtensor_sharding(mesh: Mesh, qt: QTensor, spec: P) -> QTensor:
         qtype=qt.qtype,
         mins=None if qt.mins is None else jax.device_put(qt.mins, ns),
         hibits=None if qt.hibits is None else jax.device_put(qt.hibits, ns),
+        supers=None if qt.supers is None else jax.device_put(qt.supers, ns),
     )
 
 

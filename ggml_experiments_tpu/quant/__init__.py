@@ -9,6 +9,7 @@ from ggml_experiments_tpu.quant.qtensor import (
     quantize,
     QTYPES,
     QTYPE_BITS,
+    QTYPE_TOTAL_BITS,
     to_numpy_blocks,
     unpack_hibits,
     unpack_nibbles,
@@ -29,6 +30,7 @@ __all__ = [
     "quantize",
     "QTYPES",
     "QTYPE_BITS",
+    "QTYPE_TOTAL_BITS",
     "to_numpy_blocks",
     "unpack_hibits",
     "unpack_nibbles",

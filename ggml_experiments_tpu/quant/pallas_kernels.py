@@ -36,14 +36,27 @@ from ggml_experiments_tpu.quant.qtensor import (
     unpack_q4,
 )
 
-# operand planes per format, in kernel argument order after x
+# operand planes per format, in kernel argument order after x. q4_k's stored
+# stacked-halves supers plane enters the kernel as two separate K-tiled
+# operands (supers_d/supers_m, split by _op_planes) — a single stacked plane
+# would need a dynamic-start sublane load in-kernel, which Mosaic rejects
+# ("cannot statically prove index is a multiple of 8").
 _PLANES = {
     "q8_0": ("codes", "scales"),
     "q4_0": ("codes", "scales"),
     "q4_1": ("codes", "scales", "mins"),
     "q5_0": ("codes", "hibits", "scales"),
     "q5_1": ("codes", "hibits", "scales", "mins"),
+    "q4_k": ("codes", "scales", "mins", "supers_d", "supers_m"),
 }
+
+
+def _op_planes(qt: "QTensor"):
+    """Kernel operand arrays for a QTensor, in _PLANES order."""
+    if qt.qtype == "q4_k":
+        ns = qt.supers.shape[0] // 2
+        return (qt.codes, qt.scales, qt.mins, qt.supers[:ns], qt.supers[ns:])
+    return tuple(getattr(qt, p) for p in _PLANES[qt.qtype])
 
 # Flipped to True on CPU (tests / simulated meshes) where Mosaic can't compile.
 _INTERPRET = False
@@ -157,12 +170,41 @@ def _q5_1_kernel(
     out_ref[:] += _dot(x_ref[:], w, compute_dtype)
 
 
+def _q4_k_kernel(
+    x_ref, codes_ref, scales_ref, mins_ref, dsup_ref, msup_ref, out_ref, *,
+    compute_dtype
+):
+    """Super-block k-quant (quant/kquant.py): sub-block scale/min codes are
+    uint8, decoded in-VMEM against the per-super-block f32 rows (one
+    (tile_k//256, tn) tile per supers half). Requires tile_k % 256 == 0
+    (whole super-blocks per tile; _pick_tiles enforces it, qmatmul routes
+    ragged K to the XLA path)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    half, tn = codes_ref.shape
+    tk = half * 2
+    ts = tk // 256                       # super-blocks in this K tile
+    sc = scales_ref[:].astype(jnp.int32).astype(jnp.float32)  # (tk//32, tn)
+    mc = mins_ref[:].astype(jnp.int32).astype(jnp.float32)
+    eff_d = (sc.reshape(ts, 8, tn) * dsup_ref[:][:, None, :]).reshape(tk // BLOCK, tn)
+    eff_m = (mc.reshape(ts, 8, tn) * msup_ref[:][:, None, :]).reshape(tk // BLOCK, tn)
+    q = unpack_nibbles(codes_ref[:])
+    w = (
+        q.reshape(tk // BLOCK, BLOCK, tn) * eff_d[:, None, :]
+        - eff_m[:, None, :]
+    ).reshape(tk, tn)
+    out_ref[:] += _dot(x_ref[:], w, compute_dtype)
+
+
 _KERNELS = {
     "q8_0": _q8_kernel,
     "q4_0": _q4_kernel,
     "q4_1": _q4_1_kernel,
     "q5_0": _q5_0_kernel,
     "q5_1": _q5_1_kernel,
+    "q4_k": _q4_k_kernel,
 }
 
 
@@ -178,6 +220,8 @@ def _plane_spec(plane: str, qtype: str, tile_k: int, tile_n: int):
         "hibits": tile_k // 8,
         "scales": tile_k // BLOCK,
         "mins": tile_k // BLOCK,
+        "supers_d": tile_k // 256,
+        "supers_m": tile_k // 256,
     }[plane]
     return pl.BlockSpec((rows, tile_n), lambda i, j, k: (k, j), memory_space=pltpu.VMEM)
 
@@ -232,11 +276,16 @@ def _pick_tiles(m, kp, np_, qtype):
         bytes_per_k += tile_n * 0.125  # hibits: 1 bit/weight
     if qtype in ("q4_1", "q5_1"):
         bytes_per_k += tile_n * 0.125  # f32 mins: 4 bytes per 32-weight block
+    if qtype == "q4_k":
+        bytes_per_k += tile_n * 0.0625  # u8 scale + min codes per 32-block
+    # q4_k tiles whole 256-row super-blocks (the kernel decodes sub-scales
+    # against per-super rows); qmatmul() routes kp % 256 != 0 to the XLA path
+    grain = 256 if qtype == "q4_k" else BLOCK
     max_k = int((1 << 20) / max(bytes_per_k, 1))
-    tile_k = min(kp, max(_round_up(min(max_k, kp), BLOCK), BLOCK))
+    tile_k = min(kp, max(_round_up(min(max_k, kp), grain), grain))
     # tile_k must divide into grid steps of whole blocks; also x tile must fit
-    while tile_m * tile_k * 4 > (4 << 20) and tile_k > BLOCK:
-        tile_k = _round_up(tile_k // 2, BLOCK)
+    while tile_m * tile_k * 4 > (4 << 20) and tile_k > grain:
+        tile_k = _round_up(tile_k // 2, grain)
     return tile_m, tile_n, tile_k
 
 
@@ -317,6 +366,10 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
         raise ValueError(f"x last dim {x.shape[-1]} != weight K {k}")
     if k * n <= XLA_FALLBACK_MAX_ELEMS:
         return _xla_dequant_dot(x, qt, compute_dtype=compute_dtype)
+    if qt.qtype == "q4_k" and qt.kp % 256 != 0:
+        # the kernel tiles whole super-blocks; ragged-K q4_k weights (none in
+        # this repo's large-weight set) take the in-graph dequant dot
+        return _xla_dequant_dot(x, qt, compute_dtype=compute_dtype)
     batch_shape = x.shape[:-1]
     m = 1
     for d in batch_shape:
@@ -325,7 +378,7 @@ def qmatmul(x: jax.Array, qt: QTensor, *, compute_dtype=jnp.float32) -> jax.Arra
     kp = qt.kp
     if kp != k:
         x2 = jnp.pad(x2, ((0, 0), (0, kp - k)))
-    planes = tuple(getattr(qt, p) for p in _PLANES[qt.qtype])
+    planes = _op_planes(qt)
     out = _qmatmul_partitioned(qt.qtype, compute_dtype)(x2, *planes)
     if n != out.shape[-1]:
         out = out[:, :n]  # drop lane padding (kept through the sharded call)
@@ -350,6 +403,21 @@ def dequant_in_graph(qt: QTensor) -> jax.Array:
         if qt.qtype == "q5_0":
             q = q - 16.0
     kp, np_ = q.shape
+    if qt.qtype == "q4_k":
+        nb = kp // BLOCK
+        ns = qt.supers.shape[0] // 2
+        sc = qt.scales.astype(jnp.int32).astype(jnp.float32)
+        mc = qt.mins.astype(jnp.int32).astype(jnp.float32)
+        # nb rows of sub-block codes against ceil(nb/8) super rows (pad the
+        # tail group so the reshape is whole; padded rows multiply into 0)
+        pad = ns * 8 - nb
+        if pad:
+            sc = jnp.pad(sc, ((0, pad), (0, 0)))
+            mc = jnp.pad(mc, ((0, pad), (0, 0)))
+        eff_d = (sc.reshape(ns, 8, np_) * qt.supers[:ns, None, :]).reshape(-1, np_)[:nb]
+        eff_m = (mc.reshape(ns, 8, np_) * qt.supers[ns:, None, :]).reshape(-1, np_)[:nb]
+        w = q.reshape(nb, BLOCK, np_) * eff_d[:, None, :] - eff_m[:, None, :]
+        return w.reshape(kp, np_)[: qt.k, : qt.n]
     w = q.reshape(kp // BLOCK, BLOCK, np_) * qt.scales[:, None, :]
     if qt.mins is not None:
         w = w + qt.mins[:, None, :]

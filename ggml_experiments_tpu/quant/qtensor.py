@@ -17,6 +17,10 @@ consecutive weights along the *reduction* dimension share one scale
   ``q = clamp(rint(x/d) + 16, 0, 31)``, ``x ≈ (q-16)*d``; the 5th bit
   rides in a separate bit-plane.
 * **Q5_1**: asymmetric 5-bit, ``d = (max-min)/31``, ``x ≈ q*d + m``.
+* **Q4_K**: super-block k-quant (quant/kquant.py) — 4-bit codes with
+  uint8-quantized sub-block scale/min codes against per-256-row f32
+  scale-of-scales rows, grids picked by weighted error search;
+  4.75 bits/weight vs q4_1's 6 in this layout.
 
 Layout is TPU-first, not a copy of ggml's array-of-structs: a weight
 ``W[K, N]`` (in-features first, so ``y = x @ W``) is stored as
@@ -49,9 +53,19 @@ import numpy as np
 BLOCK = 32  # weights per scale block, along the reduction dim (ggml's QK8_0/QK4_0)
 LANE = 128  # TPU lane width; N is padded to this
 
-QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1")  # supported block formats
-# bits per weight (codes + bit-plane), excluding per-block f32 scale/min rows
-QTYPE_BITS = {"q8_0": 8, "q4_0": 4, "q4_1": 4, "q5_0": 5, "q5_1": 5}
+QTYPES = ("q8_0", "q4_0", "q4_1", "q5_0", "q5_1", "q4_k")  # supported block formats
+# bits per weight (codes + bit-plane), excluding per-block scale/min rows
+QTYPE_BITS = {"q8_0": 8, "q4_0": 4, "q4_1": 4, "q5_0": 5, "q5_1": 5, "q4_k": 4}
+# total stored bits/weight including scale planes (f32 per-32-block scales for
+# the classic formats; uint8 sub-block codes + f32 per-256 supers for q4_k)
+QTYPE_TOTAL_BITS = {
+    "q8_0": 8 + 1.0,          # + f32 scale / 32
+    "q4_0": 4 + 1.0,
+    "q4_1": 4 + 2.0,          # + f32 scale + f32 min / 32
+    "q5_0": 5 + 1.0,
+    "q5_1": 5 + 2.0,
+    "q4_k": 4 + 0.25 + 0.25 + 0.25,  # u8 scale + u8 min / 32 + 2 f32 / 256
+}
 
 
 def _round_up(x: int, m: int) -> int:
@@ -90,22 +104,26 @@ class QTensor:
     leaves; static aux."""
 
     codes: jax.Array   # int8 (Kp, Np) for q8_0; uint8 (Kp//2, Np) nibble-packed
-    scales: jax.Array  # f32 (Kp//32, Np)
+    scales: jax.Array  # f32 (Kp//32, Np); q4_k: uint8 sub-block scale codes
     shape: Tuple[int, int]  # logical (K, N)
     qtype: str  # one of QTYPES
-    mins: Optional[jax.Array] = None    # f32 (Kp//32, Np), q4_1/q5_1
+    mins: Optional[jax.Array] = None    # f32 (Kp//32, Np) q4_1/q5_1; uint8 q4_k
     hibits: Optional[jax.Array] = None  # uint8 (Kp//8, Np), q5_0/q5_1
+    supers: Optional[jax.Array] = None  # f32 (2*ceil(Kp/256), Np), q4_k only:
+    #   stacked halves — per-super-block scale-of-scales rows, then min-scale
+    #   rows (quant/kquant.py)
 
     # -- pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return (self.codes, self.scales, self.mins, self.hibits), (self.shape, self.qtype)
+        return (self.codes, self.scales, self.mins, self.hibits, self.supers), (
+            self.shape, self.qtype)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        codes, scales, mins, hibits = children
+        codes, scales, mins, hibits, supers = children
         shape, qtype = aux
         return cls(codes=codes, scales=scales, shape=shape, qtype=qtype,
-                   mins=mins, hibits=hibits)
+                   mins=mins, hibits=hibits, supers=supers)
 
     # -- convenience ----------------------------------------------------------
     @property
@@ -130,12 +148,22 @@ class QTensor:
 
     @property
     def nbytes(self) -> int:
-        n = self.codes.size * self.codes.dtype.itemsize + self.scales.size * 4
+        n = self.codes.size * self.codes.dtype.itemsize
+        n += self.scales.size * self.scales.dtype.itemsize
         if self.mins is not None:
-            n += self.mins.size * 4
+            n += self.mins.size * self.mins.dtype.itemsize
         if self.hibits is not None:
             n += self.hibits.size
+        if self.supers is not None:
+            n += self.supers.size * 4
         return n
+
+    @property
+    def bits_per_weight(self) -> float:
+        """Stored bits per LOGICAL weight (all planes, incl. lane/K padding
+        amortized over the logical element count) — the honest capacity
+        number the k-quant contract is asserted against."""
+        return 8.0 * self.nbytes / (self.shape[0] * self.shape[1])
 
     def dequantize(self) -> jax.Array:
         """Reference dequantization to float32 ``(K, N)`` (pure jnp)."""
@@ -210,18 +238,40 @@ def _pack_hibits(hi3: np.ndarray) -> np.ndarray:
     return hb.reshape(nb * 4, np_)
 
 
-def quantize(w, qtype: str = "q8_0") -> QTensor:
+def quantize(w, qtype: str = "q8_0", *, importance=None) -> QTensor:
     """Quantize a float ``(K, N)`` weight into a :class:`QTensor`.
 
     Runs in numpy on the host: quantization is a load/convert-time operation
     and must not trigger a device compile (remote-compile latency on a
     tunneled TPU makes per-weight jit round-trips prohibitive). The resulting
     buffers are placed on the default device.
+
+    ``importance``: optional non-negative per-row ``(K,)`` or full ``(K, N)``
+    error weights for the q4_k grid search (e.g. calibration input second
+    moments, quant/calibration.py); ignored by the RTN formats.
     """
     w = np.asarray(w)
     if w.ndim != 2:
         raise ValueError(f"QTensor quantizes 2-D weights, got shape {w.shape}")
     k, n = w.shape
+
+    if qtype == "q4_k":
+        from ggml_experiments_tpu.quant import kquant
+
+        w_blocks, kp, np_ = _blockify(w)
+        imp = None
+        if importance is not None:
+            imp = np.asarray(importance, np.float64)
+            if imp.ndim == 1:
+                imp = imp[:, None] * np.ones((1, n))
+            imp = np.pad(imp, ((0, kp - k), (0, np_ - n)))
+            imp = imp.reshape(kp // BLOCK, BLOCK, np_)
+        q, sc, mc, supers = kquant.quantize_q4_k_blocks(w_blocks, imp)
+        codes = _pack_nibbles(q.reshape(kp // BLOCK, BLOCK, np_))
+        return QTensor(
+            codes=jnp.asarray(codes), scales=jnp.asarray(sc), shape=(k, n),
+            qtype="q4_k", mins=jnp.asarray(mc), supers=jnp.asarray(supers),
+        )
 
     # native fast path (runtime/libgxt.so, the ggml-quants.c replacement);
     # numpy below is the bit-identical reference implementation
@@ -353,17 +403,26 @@ def dequantize(qt: QTensor) -> jax.Array:
     if qt.qtype not in QTYPES:
         raise ValueError(qt.qtype)
     q = _codes_to_q_np(qt)
+    kp, np_ = q.shape
+    k, n = qt.shape
+    if qt.qtype == "q4_k":
+        from ggml_experiments_tpu.quant.kquant import effective_scales_np
+
+        eff_d, eff_m = effective_scales_np(
+            np.asarray(qt.scales), np.asarray(qt.mins), np.asarray(qt.supers)
+        )
+        w = (q.reshape(kp // BLOCK, BLOCK, np_) * eff_d[:, None, :]
+             - eff_m[:, None, :]).reshape(kp, np_)
+        return jnp.asarray(w[:k, :n])
     if qt.qtype == "q4_0":
         q -= 8.0
     elif qt.qtype == "q5_0":
         q -= 16.0
     scales = np.asarray(qt.scales)
-    kp, np_ = q.shape
     w = (q.reshape(kp // BLOCK, BLOCK, np_) * scales[:, None, :])
     if qt.mins is not None:
         w = w + np.asarray(qt.mins)[:, None, :]
     w = w.reshape(kp, np_)
-    k, n = qt.shape
     return jnp.asarray(w[:k, :n])
 
 
@@ -376,10 +435,10 @@ def quantization_error(w, qtype: str = "q8_0") -> float:
 def to_numpy_blocks(qt: QTensor):
     """Export logical-region planes as numpy, unpadded along N/K.
 
-    Returns ``(codes, scales)`` for q8_0/q4_0 (back-compat) and
-    ``(codes, scales, mins, hibits)`` for the extended formats (absent
-    planes are None). Used by the format writers (formats/) which store the
-    logical tensor.
+    Returns ``(codes, scales)`` for q8_0/q4_0 (back-compat),
+    ``(codes, scales, mins, hibits)`` for q4_1/q5_x and
+    ``(codes, scales, mins, supers)`` for q4_k (absent planes are None).
+    Used by the format writers (formats/) which store the logical tensor.
     """
     k, n = qt.shape
     nb = (k + BLOCK - 1) // BLOCK
@@ -391,15 +450,35 @@ def to_numpy_blocks(qt: QTensor):
     if qt.qtype in ("q8_0", "q4_0"):
         return codes, scales
     mins = None if qt.mins is None else np.asarray(qt.mins)[:nb, :n]
+    if qt.qtype == "q4_k":
+        ns = (nb + 7) // 8
+        return codes, scales, mins, np.asarray(qt.supers)[: 2 * ns, :n]
     hibits = None if qt.hibits is None else np.asarray(qt.hibits)[: nb * 4, :n]
     return codes, scales, mins, hibits
 
 
-def from_numpy_blocks(codes, scales, shape, qtype: str, mins=None, hibits=None) -> QTensor:
+def from_numpy_blocks(codes, scales, shape, qtype: str, mins=None, hibits=None,
+                      supers=None) -> QTensor:
     """Rebuild a padded QTensor from logical-region blocks (inverse of above)."""
     k, n = shape
     kp, np_ = _round_up(k, BLOCK), _round_up(n, LANE)
     nb = kp // BLOCK
+    if qtype == "q4_k":
+        codes_p = np.zeros((kp // 2, np_), np.uint8)
+        codes_p[: codes.shape[0], :n] = codes
+        scales_p = np.zeros((nb, np_), np.uint8)
+        scales_p[: scales.shape[0], :n] = scales
+        mins_p = np.zeros((nb, np_), np.uint8)
+        mins_p[: mins.shape[0], :n] = mins
+        ns = (nb + 7) // 8
+        supers_p = np.zeros((2 * ns, np_), np.float32)
+        supers_p[: supers.shape[0], :n] = supers
+        # pad regions decode to 0: codes 0 * (scale code 0 or super 0) - 0
+        return QTensor(
+            codes=jnp.asarray(codes_p), scales=jnp.asarray(scales_p),
+            shape=(k, n), qtype=qtype, mins=jnp.asarray(mins_p),
+            supers=jnp.asarray(supers_p),
+        )
     scales_p = np.zeros((nb, np_), np.float32)
     scales_p[: scales.shape[0], :n] = scales
     if qtype == "q8_0":

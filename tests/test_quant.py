@@ -201,6 +201,90 @@ def test_extended_checkpoint_roundtrip(rng, qtype, tmp_path):
     assert (back.hibits is None) == (qt.hibits is None)
 
 
+# --- q4_k: super-block k-quant (quant/kquant.py) -----------------------------
+
+
+@pytest.mark.parametrize("shape", [(64, 128), (256, 3072), (1024, 66), (100, 30)])
+def test_q4_k_roundtrip(rng, shape):
+    w = _rand(rng, *shape) + 0.3
+    qt = quant.quantize(w, "q4_k")
+    assert qt.qtype == "q4_k" and qt.shape == shape
+    assert qt.scales.dtype == jnp.uint8 and qt.mins.dtype == jnp.uint8
+    assert qt.supers is not None and qt.supers.dtype == jnp.float32
+    wd = np.asarray(quant.dequantize(qt))
+    # the searched grid must beat RTN q4_1 on RMSE (same 4-bit codes, finer
+    # objective) and of course q4_0
+    def rmse(qtype):
+        return np.sqrt(np.mean((np.asarray(quant.dequantize(quant.quantize(w, qtype))) - w) ** 2))
+    assert np.sqrt(np.mean((wd - w) ** 2)) < rmse("q4_1") * 1.02
+    assert np.sqrt(np.mean((wd - w) ** 2)) < rmse("q4_0")
+
+
+def test_q4_k_bits_per_weight_under_5(rng):
+    """The k-quant capacity contract: < 5 stored bits/weight on lane-aligned
+    shapes (4 + 0.25 + 0.25 + 0.25 = 4.75)."""
+    for shape in [(1024, 3072), (256, 3072), (512, 128)]:
+        qt = quant.quantize(_rand(rng, *shape), "q4_k")
+        assert qt.bits_per_weight < 5.0, (shape, qt.bits_per_weight)
+    # and strictly below the classic 4-bit formats' stored footprint
+    w = _rand(rng, 1024, 3072)
+    assert (quant.quantize(w, "q4_k").nbytes
+            < quant.quantize(w, "q4_0").nbytes
+            < quant.quantize(w, "q4_1").nbytes
+            < quant.quantize(w, "q8_0").nbytes)
+
+
+def test_q4_k_importance_weighting(rng):
+    """Rows marked important reconstruct tighter than the same rows without
+    calibration weighting (the AWQ-style diagonal-importance hook)."""
+    w = _rand(rng, 256, 128)
+    imp = np.ones(256)
+    imp[:32] = 1000.0  # first sub-block of every super-block is hot
+    qt_u = quant.quantize(w, "q4_k")
+    qt_i = quant.quantize(w, "q4_k", importance=imp)
+    e_u = np.abs(np.asarray(quant.dequantize(qt_u)) - w)[:32].mean()
+    e_i = np.abs(np.asarray(quant.dequantize(qt_i)) - w)[:32].mean()
+    assert e_i <= e_u * 1.001, (e_i, e_u)
+
+
+def test_q4_k_qmatmul_matches_reference(rng):
+    for m, k, n in [(8, 1024, 3072), (4, 1024, 66), (16, 144, 144),
+                    (3, 100, 50), (2, 1056, 1024)]:  # 1056: ragged-K fallback
+        w = _rand(rng, k, n)
+        x = _rand(rng, m, k)
+        qt = quant.quantize(w, "q4_k")
+        ref = np.asarray(quant.qmatmul_reference(jnp.asarray(x), qt))
+        out = np.asarray(quant.qmatmul(jnp.asarray(x), qt))
+        assert out.shape == (m, n)
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4,
+                                   err_msg=f"q4_k m={m} k={k} n={n}")
+
+
+def test_q4_k_numpy_block_roundtrip(rng):
+    w = _rand(rng, 300, 66)  # ragged super-block tail (300/256)
+    qt = quant.quantize(w, "q4_k")
+    codes, scales, mins, supers = quant.to_numpy_blocks(qt)
+    qt2 = quant.from_numpy_blocks(codes, scales, qt.shape, "q4_k",
+                                  mins=mins, supers=supers)
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(qt)), np.asarray(quant.dequantize(qt2))
+    )
+
+
+def test_q4_k_checkpoint_roundtrip(rng, tmp_path):
+    from ggml_experiments_tpu.formats import checkpoint
+
+    qt = quant.quantize(_rand(rng, 300, 70), "q4_k")
+    path = str(tmp_path / "q.gxt")
+    checkpoint.save(path, {"w": qt})
+    back = checkpoint.load_arrays(path)["w"]
+    assert back.qtype == "q4_k" and back.shape == (300, 70)
+    assert back.supers is not None
+    np.testing.assert_array_equal(
+        np.asarray(quant.dequantize(qt)), np.asarray(quant.dequantize(back))
+    )
+
+
 def test_qmatmul_shape_fuzz(rng):
     """Randomized shape sweep across both qtypes and both execution paths
     (Pallas-interpret for large K*N, inline-XLA for small)."""
