@@ -114,23 +114,37 @@ def cmd_features(args) -> int:
 
     from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
-        extract_features, from_named_tensors, infer_config,
+        extract_features, from_named_tensors, infer_config, load_mobilevit,
     )
 
-    # architecture comes off the weight shapes (the reference instead
-    # hardcodes hparams, main.cpp:35-53): reduced/resized exports just work
-    named = read_named_tensors(args.weights)
-    config = infer_config(named, image_size=args.image_size,
-                          num_attention_heads=args.num_heads)
-    params = from_named_tensors(
-        named, config, qtype=args.qtype,
-        conv_dtype="float16" if args.f16_convs else None,
-        flash_attn=args.flash_attn,
-        fused_layer=getattr(args, "fused_layer", None),
-        act_storage=getattr(args, "act_storage", None),
-        act_storage_scope=getattr(args, "act_storage_scope", "early"),
-    )
-    img = _load_image(args, config.image_size)
+    if args.weights.endswith(".gxt"):
+        # calibrated-quantized params checkpoint (self-describing meta)
+        from ggml_experiments_tpu.formats import checkpoint as _ckpt
+
+        params = load_mobilevit(
+            args.weights, flash_attn=args.flash_attn,
+            fused_layer=getattr(args, "fused_layer", None),
+            act_storage=getattr(args, "act_storage", None),
+            act_storage_scope=getattr(args, "act_storage_scope", "early"),
+        )
+        size = _ckpt.read_meta(args.weights).get("config", {}).get(
+            "image_size", args.image_size)
+        img = _load_image(args, size)
+    else:
+        # architecture comes off the weight shapes (the reference instead
+        # hardcodes hparams, main.cpp:35-53): reduced/resized exports just work
+        named = read_named_tensors(args.weights)
+        config = infer_config(named, image_size=args.image_size,
+                              num_attention_heads=args.num_heads)
+        params = from_named_tensors(
+            named, config, qtype=args.qtype,
+            conv_dtype="float16" if args.f16_convs else None,
+            flash_attn=args.flash_attn,
+            fused_layer=getattr(args, "fused_layer", None),
+            act_storage=getattr(args, "act_storage", None),
+            act_storage_scope=getattr(args, "act_storage_scope", "early"),
+        )
+        img = _load_image(args, config.image_size)
     t0 = time.time()
     # jit the whole forward: on the tunneled TPU backend an eager (op-by-op)
     # forward pays a remote compile+dispatch per op — minutes instead of ms
@@ -159,20 +173,33 @@ def cmd_classify(args) -> int:
 
     from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
     from ggml_experiments_tpu.models.mobilevit import (
-        classify, from_named_tensors, infer_config,
+        classify, from_named_tensors, infer_config, load_mobilevit,
     )
 
-    named = read_named_tensors(args.weights)
-    config = infer_config(named, image_size=getattr(args, "image_size", 256),
-                          num_attention_heads=getattr(args, "num_heads", 4))
-    params = from_named_tensors(
-        named, config, qtype=args.qtype,
-        flash_attn=getattr(args, "flash_attn", None),
-        fused_layer=getattr(args, "fused_layer", None),
-        act_storage=getattr(args, "act_storage", None),
-        act_storage_scope=getattr(args, "act_storage_scope", "early"),
-    )
-    img = _load_image(args, config.image_size)
+    if args.weights.endswith(".gxt"):
+        from ggml_experiments_tpu.formats import checkpoint as _ckpt
+
+        params = load_mobilevit(
+            args.weights, flash_attn=getattr(args, "flash_attn", None),
+            fused_layer=getattr(args, "fused_layer", None),
+            act_storage=getattr(args, "act_storage", None),
+            act_storage_scope=getattr(args, "act_storage_scope", "early"),
+        )
+        size = _ckpt.read_meta(args.weights).get("config", {}).get(
+            "image_size", getattr(args, "image_size", 256))
+        img = _load_image(args, size)
+    else:
+        named = read_named_tensors(args.weights)
+        config = infer_config(named, image_size=getattr(args, "image_size", 256),
+                              num_attention_heads=getattr(args, "num_heads", 4))
+        params = from_named_tensors(
+            named, config, qtype=args.qtype,
+            flash_attn=getattr(args, "flash_attn", None),
+            fused_layer=getattr(args, "fused_layer", None),
+            act_storage=getattr(args, "act_storage", None),
+            act_storage_scope=getattr(args, "act_storage_scope", "early"),
+        )
+        img = _load_image(args, config.image_size)
     cls_fn = jax.jit(classify, static_argnames=("compute_dtype",))
     logits = np.asarray(
         cls_fn(params, jnp.asarray(img)[None], compute_dtype=compute_dtype)
@@ -181,6 +208,35 @@ def cmd_classify(args) -> int:
     for i in top:
         print(f"class {int(i)}: logit {logits[i]:.4f}")
     return 0
+
+
+def _calibration_images(source: str, image_size: int, n: int):
+    """Calibration images for vision quantization: a directory of image
+    files, or 'task'[:seed] for the in-repo synthetic task distribution
+    (the right distribution for the in-repo trained checkpoints)."""
+    import numpy as np
+
+    if source.startswith("task"):
+        from ggml_experiments_tpu.training.image_task import (
+            FULL_AMP_FACTOR, make_dataset,
+        )
+
+        seed = int(source.split(":", 1)[1]) if ":" in source else 1234
+        amp = FULL_AMP_FACTOR if image_size >= 256 else 1.0
+        x, _ = make_dataset(n, seed=seed, image_size=image_size, amp_factor=amp)
+        return x
+    if os.path.isdir(source):
+        from ggml_experiments_tpu.utils.image import load_and_preprocess
+
+        files = sorted(
+            os.path.join(source, f) for f in os.listdir(source)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".ppm",
+                                   ".tga", ".gif"))
+        )[:n]
+        if not files:
+            raise ValueError(f"no images found in {source}")
+        return np.stack([load_and_preprocess(f, image_size) for f in files])
+    raise ValueError(f"--calibrate {source!r}: not a directory or 'task[:seed]'")
 
 
 def cmd_quantize(args) -> int:
@@ -192,38 +248,69 @@ def cmd_quantize(args) -> int:
 
     qtype = args.qtype or "q8_0"
     if qtype == "q4_k_m" or args.calibrate:
-        # calibrated recipe: GPTQ-compensated q4_k gates + q8_0 vocab head
-        # (quant/calibration.py) — requires calibration text and a GRU input
-        if not args.input.endswith(".bin"):
-            print("--qtype q4_k_m / --calibrate currently supports GRU "
-                  "(.bin) inputs; vision uses per-tensor qtypes", file=sys.stderr)
-            return 2
+        # calibrated recipe (quant/calibration.py): GPTQ-compensated q4_k on
+        # the bulk weights + q8_0 on the logits-producing head. GRU inputs
+        # calibrate on text, MobileViT inputs on images.
         if not args.calibrate:
-            print("--qtype q4_k_m needs --calibrate CORPUS.txt "
-                  "(calibration text, e.g. the training corpus)", file=sys.stderr)
+            print("--qtype q4_k_m needs --calibrate (GRU: a text corpus; "
+                  "MobileViT: an image directory or 'task' for the in-repo "
+                  "synthetic task)", file=sys.stderr)
             return 2
         from ggml_experiments_tpu.quant import calibration
-        from ggml_experiments_tpu.training.data import (
-            DataConfig, load_corpus, make_examples,
-        )
-        from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
 
-        base = load_gru_params(args.input)
-        ex = make_examples(load_corpus(args.calibrate), CharTokenizer(),
-                           DataConfig(seq_length=100))
-        sel = np.random.default_rng(0).permutation(len(ex))[: args.calibrate_seqs]
-        if qtype == "q4_k_m":
-            tree = calibration.gptq_gru_params(base, ex[sel])
+        if args.input.endswith(".bin"):
+            from ggml_experiments_tpu.training.data import (
+                DataConfig, load_corpus, make_examples,
+            )
+            from ggml_experiments_tpu.utils.tokenizer import CharTokenizer
+
+            base = load_gru_params(args.input)
+            ex = make_examples(load_corpus(args.calibrate), CharTokenizer(),
+                               DataConfig(seq_length=100))
+            sel = np.random.default_rng(0).permutation(len(ex))[: args.calibrate_seqs]
+            if qtype == "q4_k_m":
+                tree = calibration.gptq_gru_params(base, ex[sel])
+            else:
+                tree = calibration.calibrated_gru_params(base, ex[sel], qtype=qtype)
+            meta = {"kind": "gru", "qtype": qtype, "calibrated": True}
+            qts = [tree.cell.kernel, tree.cell.recurrent_kernel, tree.dense_kernel]
         else:
-            tree = calibration.calibrated_gru_params(base, ex[sel], qtype=qtype)
-        checkpoint.save(args.output, tree)
-        qts = [tree.cell.kernel, tree.cell.recurrent_kernel, tree.dense_kernel]
-        bits = 8.0 * sum(t.nbytes for t in qts) / sum(
-            t.shape[0] * t.shape[1] for t in qts)
+            import dataclasses as _dc
+
+            from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+            from ggml_experiments_tpu.models.mobilevit import (
+                from_named_tensors, infer_config,
+            )
+
+            named = read_named_tensors(args.input)
+            cfg = infer_config(named)
+            images = _calibration_images(args.calibrate, cfg.image_size,
+                                         args.calibrate_seqs)
+            # Grams come off the unfused float forward (the taps live in
+            # ops/linear); the saved tree is a plain params pytree that
+            # load_mobilevit re-loads under any runtime flags
+            pf = from_named_tensors(named, cfg, qtype=None,
+                                    flash_attn=False, fused_layer=False)
+            grams = calibration.collect_mobilevit_grams(pf, images)
+            tree = calibration.gptq_mobilevit_params(
+                from_named_tensors(named, cfg, qtype=None,
+                                   flash_attn=False, fused_layer=False),
+                grams,
+            )
+            meta = {"kind": "mobilevit", "qtype": qtype, "calibrated": True,
+                    "config": _dc.asdict(cfg),
+                    "classifier": tree.classifier_kernel is not None}
+            qts = [qt for _, holder, field in calibration._vision_quantizable(tree)
+                   for qt in [getattr(holder, field)]]
+        checkpoint.save(args.output, tree, meta=meta)
+        n_weights = sum(t.shape[0] * t.shape[1] for t in qts)
+        bits_stored = 8.0 * sum(t.stored_nbytes for t in qts) / n_weights
+        bits_hbm = 8.0 * sum(t.nbytes for t in qts) / n_weights
         ratio = os.path.getsize(args.input) / os.path.getsize(args.output)
         print(json.dumps({
             "input": args.input, "output": args.output, "qtype": qtype,
-            "calibrated": True, "bits_per_weight": round(bits, 3),
+            "calibrated": True, "bits_per_weight": round(bits_stored, 3),
+            "bits_per_weight_hbm": round(bits_hbm, 3),
             "compression_vs_input": round(ratio, 2),
         }))
         return 0
@@ -353,6 +440,15 @@ def cmd_eval(args) -> int:
 
     qtype = args.qtype or "q8_0"
     rng = np.random.default_rng(args.seed)
+    if args.weights.endswith(".gxt"):
+        from ggml_experiments_tpu.formats import checkpoint as _ckpt
+
+        kind = _ckpt.read_meta(args.weights).get("kind")
+        if kind == "mobilevit":
+            print("eval compares quantized vs fp32 of the SAME weights; a "
+                  "quantized-only .gxt has no fp32 twin — run eval on the "
+                  "original weight.ggml instead", file=sys.stderr)
+            return 2
     if args.weights.endswith((".bin", ".gxt")):
         from ggml_experiments_tpu.formats.gru_bin import load_gru_any
 

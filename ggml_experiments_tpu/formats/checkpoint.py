@@ -19,13 +19,17 @@ import dataclasses
 import json
 import os
 import struct
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ggml_experiments_tpu.quant.qtensor import QTensor
+from ggml_experiments_tpu.quant.qtensor import (
+    QTensor,
+    from_numpy_blocks,
+    to_numpy_blocks,
+)
 
 MAGIC = b"GXT1"
 ALIGN = 64
@@ -64,8 +68,12 @@ def _np_for_write(arr) -> Tuple[np.ndarray, str]:
     return a, str(a.dtype)
 
 
-def save(path: str, tree: Any) -> None:
+def save(path: str, tree: Any, meta: Optional[Dict] = None) -> None:
     """Serialize a pytree of jax/np arrays and QTensors to ``path``.
+
+    ``meta``: optional JSON-serializable dict stored in the header (model
+    kind/config for self-describing checkpoints — read via :func:`read_meta`
+    without touching tensor data).
 
     The write is ATOMIC (temp file + os.replace): checkpoints exist to
     survive crashes, so a crash mid-save must leave the previous good file
@@ -85,15 +93,26 @@ def save(path: str, tree: Any) -> None:
     for kp, leaf in leaves:
         name = _keystr(kp)
         if isinstance(leaf, QTensor):
-            meta = {"qtype": leaf.qtype, "logical_shape": list(leaf.shape)}
-            add(name + ".codes", leaf.codes, {"quant": meta})
-            add(name + ".scales", leaf.scales, {"quant": meta})
-            if leaf.mins is not None:
-                add(name + ".mins", leaf.mins, {"quant": meta})
-            if leaf.hibits is not None:
-                add(name + ".hibits", leaf.hibits, {"quant": meta})
-            if leaf.supers is not None:
-                add(name + ".supers", leaf.supers, {"quant": meta})
+            # store LOGICAL-region planes (lane/K padding trimmed — vision
+            # widths pad 144->256 lanes, 1.8x file bloat otherwise); load
+            # re-pads via from_numpy_blocks. "packed": "logical" marks the
+            # trimmed layout; pre-round-5 files without it load as-is.
+            qmeta = {"qtype": leaf.qtype, "logical_shape": list(leaf.shape),
+                     "packed": "logical"}
+            planes = to_numpy_blocks(leaf)
+            add(name + ".codes", planes[0], {"quant": qmeta})
+            add(name + ".scales", planes[1], {"quant": qmeta})
+            if leaf.qtype == "q4_k":
+                add(name + ".mins", planes[2], {"quant": qmeta})
+                # lossless: quantize() rounds supers to f16-representable
+                # values before deriving the code grid (quant/kquant.py)
+                add(name + ".supers", planes[3].astype(np.float16),
+                    {"quant": qmeta})
+            elif len(planes) == 4:
+                if planes[2] is not None:
+                    add(name + ".mins", planes[2], {"quant": qmeta})
+                if planes[3] is not None:
+                    add(name + ".hibits", planes[3], {"quant": qmeta})
         else:
             # (None never appears here: it is an empty pytree, not a leaf —
             # load_into templates re-supply structural Nones)
@@ -106,7 +125,10 @@ def save(path: str, tree: Any) -> None:
         e["offset"] = off
         e["nbytes"] = int(b.nbytes)
         off += b.nbytes
-    header = json.dumps({"version": 1, "tensors": entries}).encode()
+    head = {"version": 1, "tensors": entries}
+    if meta:
+        head["meta"] = meta
+    header = json.dumps(head).encode()
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(MAGIC)
@@ -117,6 +139,15 @@ def save(path: str, tree: Any) -> None:
             f.seek(base + e["offset"])
             f.write(b.tobytes())
     os.replace(tmp, path)
+
+
+def read_meta(path: str) -> Dict:
+    """Header metadata only (no tensor reads); {} when absent."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"{path}: not a GXT1 checkpoint")
+        (hlen,) = struct.unpack("<Q", f.read(8))
+        return json.loads(f.read(hlen)).get("meta", {})
 
 
 def load_arrays(path: str) -> Dict[str, Any]:
@@ -155,15 +186,25 @@ def load_arrays(path: str) -> Dict[str, Any]:
             mins = raw.get(stem + ".mins")
             hibits = raw.get(stem + ".hibits")
             supers = raw.get(stem + ".supers")
-            out[stem] = QTensor(
-                codes=jnp.asarray(raw[stem + ".codes"]),
-                scales=jnp.asarray(raw[stem + ".scales"]),
-                shape=tuple(q["logical_shape"]),
-                qtype=q["qtype"],
-                mins=None if mins is None else jnp.asarray(mins),
-                hibits=None if hibits is None else jnp.asarray(hibits),
-                supers=None if supers is None else jnp.asarray(supers),
-            )
+            if q.get("packed") == "logical":
+                out[stem] = from_numpy_blocks(
+                    np.asarray(raw[stem + ".codes"]),
+                    np.asarray(raw[stem + ".scales"]),
+                    tuple(q["logical_shape"]), q["qtype"],
+                    mins=None if mins is None else np.asarray(mins),
+                    hibits=None if hibits is None else np.asarray(hibits),
+                    supers=None if supers is None else np.asarray(supers),
+                )
+            else:  # pre-round-5 layout: planes stored padded, load directly
+                out[stem] = QTensor(
+                    codes=jnp.asarray(raw[stem + ".codes"]),
+                    scales=jnp.asarray(raw[stem + ".scales"]),
+                    shape=tuple(q["logical_shape"]),
+                    qtype=q["qtype"],
+                    mins=None if mins is None else jnp.asarray(mins),
+                    hibits=None if hibits is None else jnp.asarray(hibits),
+                    supers=None if supers is None else jnp.asarray(supers),
+                )
             done.update({stem + ".scales", stem + ".mins", stem + ".hibits",
                          stem + ".supers"})
         elif (

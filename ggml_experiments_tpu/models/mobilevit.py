@@ -776,11 +776,36 @@ def random_named_tensors(
 
 def load_mobilevit(path: str, config: Optional[MobileViTConfig] = None,
                    **kw) -> MobileViTParams:
-    """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py).
+    """Load from a ``weight.ggml`` named-tensor file (formats/ggml_named.py)
+    or a ``.gxt`` params checkpoint (e.g. calibrated-quantized output of
+    ``gxt quantize --calibrate``; formats/checkpoint.py).
 
     With ``config=None`` the architecture is inferred from the weight
-    shapes (:func:`infer_config`) — any-sized export loads directly."""
+    shapes (:func:`infer_config`) — any-sized export loads directly. For
+    ``.gxt`` the config comes from the checkpoint's meta header and the
+    stored leaves (incl. mixed-qtype QTensors) load into a template built
+    with the caller's runtime flags (flash_attn/fused_layer/...)."""
     from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+
+    if path.endswith(".gxt"):
+        from ggml_experiments_tpu.formats import checkpoint
+
+        meta = checkpoint.read_meta(path)
+        if meta.get("kind") != "mobilevit":
+            raise ValueError(
+                f"{path}: not a MobileViT .gxt checkpoint (meta kind "
+                f"{meta.get('kind')!r})"
+            )
+        mcfg = dict(meta["config"])
+        for key in ("hidden_sizes", "neck_hidden_sizes", "num_transformer_layers"):
+            mcfg[key] = tuple(mcfg[key])
+        config = config or MobileViTConfig(**mcfg)
+        kw.pop("qtype", None)  # quantization is whatever the checkpoint stored
+        template = from_named_tensors(
+            random_named_tensors(config, seed=0, classifier=meta.get("classifier", True)),
+            config, qtype=None, **kw,
+        )
+        return checkpoint.load_into(path, template)
 
     named = read_named_tensors(path)
     if config is None:

@@ -18,6 +18,14 @@ from ggml_experiments_tpu.quant import QTensor, qmatmul
 
 Weight = Union[jax.Array, QTensor]
 
+# Calibration tap (quant/calibration.py): when set to a list, every float-
+# weight matmul appends (weight_shape, input Gram tracer, row count) during
+# tracing — the jitted wrapper returns the Grams as auxiliary outputs, giving
+# per-weight E[x xᵀ] statistics for GPTQ with zero model-code changes. The
+# forward's matmul call order is deterministic per architecture, which is the
+# key the collector matches weights by.
+_CALIBRATION_TAPS = None
+
 
 def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
     """``x (..., K) @ w (K, N) -> (..., N)``; QTensor weights use the Pallas kernel.
@@ -31,6 +39,12 @@ def matmul(x: jax.Array, w: Weight, *, compute_dtype=jnp.float32) -> jax.Array:
     """
     if isinstance(w, QTensor):
         return qmatmul(x, w, compute_dtype=compute_dtype)
+    if _CALIBRATION_TAPS is not None:
+        x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+        _CALIBRATION_TAPS.append(
+            (tuple(w.shape), jnp.dot(x2.T, x2, precision=jax.lax.Precision.HIGHEST),
+             x2.shape[0])
+        )
     precision = (
         jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     )

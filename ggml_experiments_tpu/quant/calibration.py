@@ -148,6 +148,123 @@ def gptq_gru_params(params, token_seqs, *, head_qtype: str = "q8_0"):
     )
 
 
+# ---------------------------------------------------------------------------
+# MobileViT: call-order Gram taps + GPTQ over the transformer kernels
+# ---------------------------------------------------------------------------
+
+
+def _vision_quantizable(params):
+    """The model's quantizable weight leaves in FORWARD CALL ORDER — must
+    mirror the unfused forward exactly (attention q/k/v/out, then the MLP
+    pair, per layer per block; classifier last). The Gram collector matches
+    taps to weights by this order and asserts shapes."""
+    out = []
+    for bname in ("layer_3", "layer_4", "layer_5"):
+        blk = getattr(params, bname)
+        for ti, tl in enumerate(blk.transformer):
+            a = tl.attention
+            out += [
+                (f"{bname}.t{ti}.wq", a, "wq"),
+                (f"{bname}.t{ti}.wk", a, "wk"),
+                (f"{bname}.t{ti}.wv", a, "wv"),
+                (f"{bname}.t{ti}.wo", a, "wo"),
+                (f"{bname}.t{ti}.intermediate", tl, "intermediate_kernel"),
+                (f"{bname}.t{ti}.output", tl, "output_kernel"),
+            ]
+    if params.classifier_kernel is not None:
+        out.append(("classifier", params, "classifier_kernel"))
+    return out
+
+
+def collect_mobilevit_grams(params, images, *, batch: int = 32,
+                            compute_dtype=jnp.float32):
+    """Per-weight input Gram matrices ``E[x xᵀ]`` for every quantizable
+    MobileViT weight, via the ops/linear.py calibration tap.
+
+    ``params`` must be a FLOAT (qtype=None) pytree on the unfused path
+    (flash_attn/fused_layer off — the fused kernels bypass ops.linear).
+    Returns ``{name: (K, K) float64}`` keyed like :func:`_vision_quantizable`.
+    """
+    # NOTE: ops/__init__ re-exports a FUNCTION named `linear` that shadows
+    # the submodule attribute, so even `import ...ops.linear as m` binds the
+    # function (PEP 328 getattr semantics); fetch the real module object
+    import importlib
+
+    linear_mod = importlib.import_module("ggml_experiments_tpu.ops.linear")
+    from ggml_experiments_tpu.models.mobilevit import classify, extract_features
+
+    order = _vision_quantizable(params)
+    fwd = classify if params.classifier_kernel is not None else extract_features
+    shapes = []
+
+    def tapped(p, x):
+        linear_mod._CALIBRATION_TAPS = taps = []
+        try:
+            fwd(p, x, compute_dtype=compute_dtype)
+        finally:
+            linear_mod._CALIBRATION_TAPS = None
+        if not shapes:
+            shapes.extend((s, c) for s, _, c in taps)
+        return [g for _, g, _ in taps]
+
+    jt = jax.jit(tapped)
+    images = np.asarray(images)
+    acc = None
+    rows = 0
+    for i in range(0, len(images), batch):
+        chunk = jnp.asarray(images[i : i + batch])
+        grams = jt(params, chunk)
+        if acc is None:
+            acc = [np.zeros(g.shape, np.float64) for g in grams]
+        for a, g in zip(acc, grams):
+            a += np.asarray(g, np.float64)
+        rows += 1
+    if acc is None:
+        raise ValueError("no calibration images supplied")
+    if len(acc) != len(order):
+        raise AssertionError(
+            f"tap count {len(acc)} != quantizable weights {len(order)}: the "
+            "forward call order changed (fused path enabled, or params "
+            "already quantized?)"
+        )
+    out = {}
+    for (name, holder, field), (wshape, _), a in zip(order, shapes, acc):
+        k = np.asarray(getattr(holder, field)).shape[0]
+        if a.shape != (k, k) or wshape[0] != k:
+            raise AssertionError(f"gram/weight shape mismatch at {name}")
+        # GPTQ is invariant to the Gram's overall scale (damping is relative,
+        # the recursion uses factor ratios); normalize per chunk for sanity
+        out[name] = a / rows
+    return out
+
+
+def gptq_mobilevit_params(target_params, grams, *, head_qtype: str = "q8_0"):
+    """Replace ``target_params``' transformer kernels with GPTQ q4_k
+    QTensors (classifier at ``head_qtype``), using Grams from
+    :func:`collect_mobilevit_grams`. ``target_params`` may be a fresh float
+    load with production flags (fused kernels on) — only the weight leaves
+    change; returns the same object, mutated.
+    """
+    from ggml_experiments_tpu.quant.gptq import (
+        gptq_quantize_q4_k,
+        gptq_quantize_q8_0,
+    )
+
+    for name, holder, field in _vision_quantizable(target_params):
+        w = np.asarray(getattr(holder, field))
+        h = grams[name]
+        if name == "classifier" and head_qtype == "q8_0":
+            qt = gptq_quantize_q8_0(w, h)
+        elif name == "classifier":
+            from ggml_experiments_tpu.quant.qtensor import quantize
+
+            qt = quantize(w, head_qtype)
+        else:
+            qt = gptq_quantize_q4_k(w, h)
+        setattr(holder, field, qt)
+    return target_params
+
+
 def calibrated_gru_params(params, token_seqs, qtype: str = "q4_k"):
     """Quantize a float GRU params pytree with calibrated importance.
 

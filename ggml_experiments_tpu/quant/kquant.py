@@ -158,8 +158,14 @@ def quantize_q4_k_blocks(
         mm = np.pad(mm, ((0, pad), (0, 0)))
     dg = best_d.reshape(ns, GROUP, n)
     mg = mm.reshape(ns, GROUP, n)
-    d_super = dg.max(axis=1) / 255.0                       # (ns, N)
-    m_super = mg.max(axis=1) / 255.0
+    # supers round to f16-REPRESENTABLE values here, before any code
+    # quantizes against them: checkpoint files then store the supers plane
+    # as lossless f16 (halving its footprint — it dominates the format
+    # overhead on short-K vision weights), and in-memory f32 planes
+    # dequantize bit-identically to a save/load roundtrip. f16's 2^-11
+    # relative step is noise next to the 8-bit scale codes.
+    d_super = np.float16(dg.max(axis=1) / 255.0).astype(np.float64)  # (ns, N)
+    m_super = np.float16(mg.max(axis=1) / 255.0).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         d_inv = np.where(d_super > 0, 1.0 / np.where(d_super > 0, d_super, 1.0), 0.0)
         m_inv = np.where(m_super > 0, 1.0 / np.where(m_super > 0, m_super, 1.0), 0.0)

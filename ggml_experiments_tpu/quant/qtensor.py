@@ -18,9 +18,9 @@ consecutive weights along the *reduction* dimension share one scale
   rides in a separate bit-plane.
 * **Q5_1**: asymmetric 5-bit, ``d = (max-min)/31``, ``x ≈ q*d + m``.
 * **Q4_K**: super-block k-quant (quant/kquant.py) — 4-bit codes with
-  uint8-quantized sub-block scale/min codes against per-256-row f32
-  scale-of-scales rows, grids picked by weighted error search;
-  4.75 bits/weight vs q4_1's 6 in this layout.
+  uint8-quantized sub-block scale/min codes against per-256-row
+  scale-of-scales rows (f16-rounded, stored f16), grids picked by weighted
+  error search; 4.625 stored bits/weight vs q4_1's 6 in this layout.
 
 Layout is TPU-first, not a copy of ggml's array-of-structs: a weight
 ``W[K, N]`` (in-features first, so ``y = x @ W``) is stored as
@@ -64,7 +64,7 @@ QTYPE_TOTAL_BITS = {
     "q4_1": 4 + 2.0,          # + f32 scale + f32 min / 32
     "q5_0": 5 + 1.0,
     "q5_1": 5 + 2.0,
-    "q4_k": 4 + 0.25 + 0.25 + 0.25,  # u8 scale + u8 min / 32 + 2 f32 / 256
+    "q4_k": 4 + 0.25 + 0.25 + 0.125,  # u8 scale + u8 min / 32 + 2 f16 / 256
 }
 
 
@@ -160,10 +160,28 @@ class QTensor:
 
     @property
     def bits_per_weight(self) -> float:
-        """Stored bits per LOGICAL weight (all planes, incl. lane/K padding
-        amortized over the logical element count) — the honest capacity
-        number the k-quant contract is asserted against."""
+        """In-HBM bits per LOGICAL weight (padded planes over logical
+        elements) — the device-capacity number; lane padding (N to 128)
+        inflates it for narrow tensors, identically across formats."""
         return 8.0 * self.nbytes / (self.shape[0] * self.shape[1])
+
+    @property
+    def stored_nbytes(self) -> int:
+        """Bytes of the LOGICAL-region planes — what checkpoint files store
+        (formats/checkpoint.py trims lane/K padding on save; q4_k supers
+        serialize as lossless f16 — their values are f16-rounded at
+        quantize time)."""
+        planes = to_numpy_blocks(self)
+        n = sum(p.nbytes for p in planes if p is not None)
+        if self.qtype == "q4_k":
+            n -= planes[3].nbytes // 2  # f32 in memory, f16 on disk
+        return n
+
+    @property
+    def stored_bits_per_weight(self) -> float:
+        """File-storage bits per weight: 4.75 for q4_k, 6 for q4_1, 9 for
+        q8_0 on block-aligned shapes — the k-quant capacity contract."""
+        return 8.0 * self.stored_nbytes / (self.shape[0] * self.shape[1])
 
     def dequantize(self) -> jax.Array:
         """Reference dequantization to float32 ``(K, N)`` (pure jnp)."""

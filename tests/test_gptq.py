@@ -92,6 +92,47 @@ def test_collect_gru_moments_and_hessians_consistent(rng):
         assert ev.min() > -1e-8
 
 
+def test_mobilevit_gram_taps_and_gptq(rng):
+    """The call-order Gram collector must produce one PSD (K, K) matrix per
+    quantizable vision weight, and the GPTQ'd params must stay close to the
+    float model on random inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        MobileViTConfig, classify, from_named_tensors, random_named_tensors,
+    )
+    from ggml_experiments_tpu.quant import calibration
+    from ggml_experiments_tpu.quant.qtensor import QTensor
+
+    cfg = MobileViTConfig(
+        image_size=64, hidden_sizes=(32, 48, 64), num_transformer_layers=(1, 1, 1),
+        neck_hidden_sizes=(8, 16, 24, 32, 48, 64, 96), num_labels=10,
+    )
+    named = random_named_tensors(cfg, seed=0, classifier=True)
+    pf = from_named_tensors(named, cfg, qtype=None, flash_attn=False,
+                            fused_layer=False)
+    x = rng.random((8, 64, 64, 3)).astype(np.float32)
+    grams = calibration.collect_mobilevit_grams(pf, x, batch=4)
+    assert len(grams) == 3 * 6 + 1  # 1 layer/block x 6 weights + classifier
+    for name, h in grams.items():
+        assert h.shape[0] == h.shape[1]
+        # PSD up to f32 accumulation noise, relative to the matrix scale
+        tol = 1e-6 * max(1.0, float(np.trace(h)) / h.shape[0])
+        assert np.linalg.eigvalsh(h).min() > -tol, name
+
+    pq = from_named_tensors(named, cfg, qtype=None, flash_attn=False,
+                            fused_layer=False)
+    pq = calibration.gptq_mobilevit_params(pq, grams)
+    assert isinstance(pq.layer_3.transformer[0].attention.wq, QTensor)
+    assert pq.layer_3.transformer[0].attention.wq.qtype == "q4_k"
+    assert pq.classifier_kernel.qtype == "q8_0"
+    la = np.asarray(jax.jit(classify)(pf, jnp.asarray(x)))
+    lb = np.asarray(jax.jit(classify)(pq, jnp.asarray(x)))
+    rel = np.sqrt(np.mean((lb - la) ** 2)) / np.sqrt(np.mean(la ** 2))
+    assert rel < 0.05, rel
+
+
 def test_gptq_gru_params_structure(rng):
     import jax
 
