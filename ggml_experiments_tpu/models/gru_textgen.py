@@ -219,8 +219,13 @@ def decode(
     on-core); everything else uses :func:`generate`. Both paths produce
     identical tokens for the greedy case *at matched compute_dtype* — to
     that end the fused path's bfloat16 default is applied to the scan path
-    here too (pass ``compute_dtype`` explicitly to override; near-tie argmax
-    steps can differ across dtypes).
+    here too (pass ``compute_dtype`` explicitly to override). f32 is
+    token-exact across paths (tested); at bf16 the paths round differently
+    per step, pinned as a tested contract on the trained checkpoint
+    (tests/test_fused_decode.py::test_bf16_fused_vs_scan_parity_contract):
+    single-step agreement from matched context 100%/99.6% at context 16/48
+    on real TPU (free-running sequences legitimately fork at near-tie
+    argmax steps and compound — that is greedy decode, not the kernel).
 
     Dispatch thresholds are measured (v5e, interleaved scan/fused rounds,
     tools/diag_decode_dispatch.py, re-derived round 3): the fused kernel
