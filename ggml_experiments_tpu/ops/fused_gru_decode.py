@@ -505,6 +505,62 @@ def _hash_bits_u32(seed, j, shape, slot0=None):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _filter_topk_vb(s, k, b):
+    """In-kernel top-k mask on (Vp, B) temperature-scaled logits.
+
+    Matches ops/sampling.apply_top_k: threshold = k-th largest per slot
+    (counting duplicates), kept iff ``>=`` it (boundary ties all kept).
+    The threshold comes from k iterations of extract-max-and-mask — k is a
+    STATIC engine config, typically << vocab, and each iteration is one
+    sublane reduction; the VPU work rides in the shadow of the step's MXU
+    dots like the rest of the sampling math."""
+
+    def body(_, carry):
+        thr, cnt, cur = carry
+        m = jnp.max(cur, axis=0, keepdims=True)             # (1, B)
+        thr = jnp.where(cnt < k, m, thr)
+        tied = cur == m
+        cnt = cnt + jnp.sum(tied.astype(jnp.int32), axis=0, keepdims=True)
+        cur = jnp.where(tied, NEG, cur)
+        return thr, cnt, cur
+
+    thr0 = jnp.full((1, b), NEG, jnp.float32)
+    cnt0 = jnp.zeros((1, b), jnp.int32)
+    thr, _, _ = jax.lax.fori_loop(0, k, body, (thr0, cnt0, s))
+    return jnp.where(s >= thr, s, NEG)
+
+
+def _filter_topp_vb(s, p, vocab, b):
+    """In-kernel nucleus (top-p) mask on (Vp, B) scaled logits.
+
+    Matches ops/sampling.apply_top_p: softmax over the (possibly already
+    top-k-masked) set, keep the descending-order prefix whose cumulative
+    mass BEFORE each token is < p (the argmax always survives). Runs as a
+    ``vocab``-iteration descending extraction; exact ties at the p boundary
+    are kept as a group (the sort-based scan path splits them by index
+    order — a measure-zero divergence on real logits, documented in
+    fused_slot_tick)."""
+    mx = jnp.max(s, axis=0, keepdims=True)
+    live = s > NEG * 0.5
+    e = jnp.where(live, jnp.exp(s - mx), 0.0)
+    target = p * jnp.sum(e, axis=0, keepdims=True)          # unnormalized
+
+    def body(_, carry):
+        thr, cum, cur = carry
+        m = jnp.max(cur, axis=0, keepdims=True)
+        tied = cur == m
+        grp = jnp.sum(jnp.where(tied, e, 0.0), axis=0, keepdims=True)
+        thr = jnp.where((cum < target) & (m > NEG * 0.5), m, thr)
+        cum = cum + grp
+        cur = jnp.where(tied, NEG, cur)
+        return thr, cum, cur
+
+    thr0 = jnp.full((1, b), NEG, jnp.float32)
+    cum0 = jnp.zeros((1, b), jnp.float32)
+    thr, _, _ = jax.lax.fori_loop(0, vocab, body, (thr0, cum0, s))
+    return jnp.where(s >= thr, s, NEG)
+
+
 def _tick_kernel(
     # inputs (weights as in _kernel, then per-slot state; with sampling two
     # extra operands follow h: ftemp (8, B) f32 and seed (1,) int32 in SMEM)
@@ -514,6 +570,9 @@ def _tick_kernel(
     compute_dtype,
     qtype: str,
     enable_sampling: bool = False,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    vocab: int = 0,
     tiled: bool = False,
     interp_prng: bool = False,
 ):
@@ -624,7 +683,15 @@ def _tick_kernel(
                 + 0.5
             ) * (1.0 / (1 << 23))                         # (0, 1) exclusive
             gumbel = -jnp.log(-jnp.log(u01))
-            scored = logits_vb * inv_t + gumbel           # NEG pad rows never win
+            scaled = logits_vb * inv_t
+            # static top-k / top-p filtering, in-VMEM (engine-level config,
+            # like the scan tick's): masked entries drop to NEG so the
+            # Gumbel-argmax below never picks them
+            if top_k:
+                scaled = _filter_topk_vb(scaled, min(top_k, vocab or vp), b)
+            if top_p:
+                scaled = _filter_topp_vb(scaled, top_p, vocab or vp, b)
+            scored = scaled + gumbel                      # NEG pad rows never win
             ms = jnp.max(scored, axis=0, keepdims=True)
             cand_s = jnp.where(scored == ms, sub_v, jnp.int32(2**30))
             sampled = jnp.min(cand_s, axis=0, keepdims=True)
@@ -648,7 +715,8 @@ def _tick_kernel(
 def _tick_call(
     *operands,
     units: int, inner_steps: int, compute_dtype, qtype: str,
-    enable_sampling: bool, slot_tile: int = 0,
+    enable_sampling: bool, top_k: int = 0, top_p: float = 0.0,
+    vocab: int = 0, slot_tile: int = 0,
 ):
     """The raw tick pallas_call on final-layout operands (local shapes).
 
@@ -682,7 +750,8 @@ def _tick_call(
         raise ValueError(f"slot_tile {slot_tile} must divide padded slots {b}")
     kernel = functools.partial(
         _tick_kernel, units=units, inner_steps=inner_steps, compute_dtype=cd,
-        qtype=qtype, enable_sampling=enable_sampling, tiled=tiled,
+        qtype=qtype, enable_sampling=enable_sampling,
+        top_k=top_k, top_p=top_p, vocab=vocab, tiled=tiled,
         interp_prng=_default_interpret(),
     )
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -769,7 +838,8 @@ def _tick_slot_axis(arg_shapes):
 
 @functools.lru_cache(maxsize=None)
 def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
-                      enable_sampling, slot_tile=None):
+                      enable_sampling, slot_tile=None, top_k=0, top_p=0.0,
+                      vocab=0):
     """Slot-parallel rule for the serving tick: under a sharded jit the slot
     (batch) axis stays local per device — each device ticks only its own
     slots with replicated weights — instead of XLA gathering every operand
@@ -796,6 +866,7 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
         return _tick_call(
             *ops, units=units, inner_steps=inner_steps, compute_dtype=cd,
             qtype=qtype, enable_sampling=enable_sampling, slot_tile=st,
+            top_k=top_k, top_p=top_p, vocab=vocab,
         )
 
     def infer(mesh, arg_shapes, result_shape):
@@ -838,32 +909,34 @@ def _tick_partitioned(units, inner_steps, compute_dtype_name, qtype,
 @functools.partial(
     jax.jit,
     static_argnames=("units", "inner_steps", "compute_dtype_name", "qtype",
-                     "enable_sampling", "slot_tile"),
+                     "enable_sampling", "slot_tile", "top_k", "top_p", "vocab"),
 )
 def _fused_tick_jit(
     emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
     ftemp=None, seed=None,
     *, units: int, inner_steps: int, compute_dtype_name: str, qtype: str = "q8_0",
-    enable_sampling: bool = False, slot_tile=None,
+    enable_sampling: bool = False, slot_tile=None, top_k: int = 0,
+    top_p: float = 0.0, vocab: int = 0,
 ):
     operands = [emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h]
     if enable_sampling:
         operands += [ftemp, seed]
     return _tick_partitioned(
         units, inner_steps, compute_dtype_name, qtype, enable_sampling,
-        slot_tile,
+        slot_tile, top_k, top_p, vocab,
     )(*operands)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("inner_steps", "compute_dtype_name", "qtype",
-                     "enable_sampling", "mesh", "slot_axis", "slot_tile"),
+                     "enable_sampling", "mesh", "slot_axis", "slot_tile",
+                     "top_k", "top_p"),
     donate_argnames=("state",),
 )
 def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name,
                          qtype, enable_sampling, mesh=None, slot_axis=None,
-                         slot_tile=None):
+                         slot_tile=None, top_k=0, top_p=0.0):
     """One-dispatch tick: weight prep + layout glue + kernel + state repack
     all inside a single jitted program (the glue is on-device-cheap; eagerly
     it would cost a tunnel dispatch per op).
@@ -912,7 +985,8 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
         emb, wc, ws, uc, us, bias, dc, ds, dbias, prompt, srow, scol, h,
         units=u, inner_steps=inner_steps,
         compute_dtype_name=compute_dtype_name, qtype=qtype,
-        enable_sampling=enable_sampling, slot_tile=slot_tile, **extra,
+        enable_sampling=enable_sampling, slot_tile=slot_tile,
+        top_k=top_k, top_p=top_p, vocab=v, **extra,
     )
     if mesh is not None and slot_axis is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -935,7 +1009,8 @@ def _fused_slot_tick_jit(params, state, seed, *, inner_steps, compute_dtype_name
 
 def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat16,
                     enable_sampling: bool = False, seed=0,
-                    mesh=None, slot_axis=None, slot_tile=None):
+                    mesh=None, slot_axis=None, slot_tile=None,
+                    top_k=None, top_p=None):
     """Advance the serving engine's slot state ``inner_steps`` tokens
     through the persistent kernel.
 
@@ -948,7 +1023,14 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     ``enable_sampling=True`` samples slots with ``state.temp > 0`` at their
     temperature via in-kernel Gumbel-argmax (on-core PRNG on real TPUs; a
     stateless hash lattice under the Pallas interpreter, where pltpu.prng_*
-    has no lowering; temp <= 0 slots stay exactly greedy). ``seed`` reseeds
+    has no lowering; temp <= 0 slots stay exactly greedy). ``top_k`` /
+    ``top_p`` (engine-level static config, like the scan tick's) filter the
+    sampled distribution IN-KERNEL: the temperature-scaled logits are
+    masked to NEG before the Gumbel draw, with semantics matching
+    ops/sampling.apply_top_k/apply_top_p (threshold-by-extraction in VMEM;
+    the one divergence is exact float ties straddling the nucleus boundary,
+    which the kernel keeps as a group while the sort-based path splits by
+    index — measure-zero on real logits). ``seed`` reseeds
     the PRNG per tick — pass the engine's deterministic tick seed; each
     slot tile and each slot shard mixes in its first global slot index, so
     tiled/sharded streams stay decorrelated. The sample stream differs from
@@ -972,6 +1054,10 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
     qtype = _check_quantized(params)
     if qtype == "dense":
         params = _densify(params)  # one dequant per params object, cached
+    if top_k is not None and top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    if top_p is not None and not 0.0 < top_p <= 1.0:
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
     if slot_axis is not None:
         if mesh is None or slot_axis not in mesh.axis_names:
             raise ValueError(f"slot_axis={slot_axis!r} requires a mesh with "
@@ -992,4 +1078,5 @@ def fused_slot_tick(params, state, inner_steps: int, *, compute_dtype=jnp.bfloat
         compute_dtype_name="bfloat16" if compute_dtype == jnp.bfloat16 else "float32",
         qtype=qtype, enable_sampling=enable_sampling,
         mesh=mesh, slot_axis=slot_axis, slot_tile=slot_tile,
+        top_k=int(top_k or 0), top_p=float(top_p or 0.0),
     )

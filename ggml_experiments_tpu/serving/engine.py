@@ -341,8 +341,11 @@ class DecodeEngine:
         # where the per-call VMEM weight setup amortizes). Temperature
         # sampling runs in-kernel too (Gumbel-argmax on the on-core PRNG;
         # a hash-lattice fallback under the Pallas interpreter), including
-        # on multi-process meshes (per-shard seed decorrelation) — only
-        # top_k/top_p filtering stays on the scan path.
+        # on multi-process meshes (per-shard seed decorrelation). top_k /
+        # top_p filtering ALSO runs in-kernel (round 5): the static engine
+        # config compiles threshold-by-extraction masks into the tick
+        # (ops/fused_gru_decode._filter_topk_vb/_filter_topp_vb), so
+        # filtered sampling no longer forces the ~2x slower scan path.
         from ggml_experiments_tpu.ops.fused_gru_decode import is_fusable_params
 
         quantized = is_fusable_params(params)
@@ -350,9 +353,7 @@ class DecodeEngine:
             on_tpu = jax.default_backend() == "tpu"  # not gpu/cpu: Mosaic only
         except Exception:  # pragma: no cover
             on_tpu = False
-        sampling_fusable = not self.sampling_enabled or (
-            on_tpu and top_k is None and top_p is None
-        )
+        sampling_fusable = not self.sampling_enabled or on_tpu
         multiproc = jax.process_count() > 1
         if use_fused_tick is None:
             # auto only on real TPUs: off-TPU the kernel would run under the
@@ -371,9 +372,6 @@ class DecodeEngine:
                 and (not multiproc or self._mesh is not None)
             )
         elif use_fused_tick:
-            if self.sampling_enabled and (top_k is not None or top_p is not None):
-                raise ValueError("use_fused_tick has no top_k/top_p path — "
-                                 "filtered sampling requires the scan tick")
             if self.sampling_enabled and not on_tpu:
                 from ggml_experiments_tpu.quant.pallas_kernels import (
                     _default_interpret,
@@ -414,6 +412,8 @@ class DecodeEngine:
                     self._fused_slot_axis = ax
                     break
         self._compute_dtype = compute_dtype
+        self._top_k = top_k
+        self._top_p = top_p
         self.max_pending = max_pending  # submit() backpressure threshold
         self._queue: "queue.Queue[Request]" = queue.Queue()
         self._slot_req: Dict[int, Optional[Request]] = {i: None for i in range(n_slots)}
@@ -727,6 +727,8 @@ class DecodeEngine:
                 enable_sampling=self.sampling_enabled, seed=seed,
                 mesh=self._mesh if self._fused_slot_axis else None,
                 slot_axis=self._fused_slot_axis,
+                top_k=self._top_k if self.sampling_enabled else None,
+                top_p=self._top_p if self.sampling_enabled else None,
             )
         else:
             self.state, toks, _valid = self._scan(

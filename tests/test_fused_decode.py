@@ -300,8 +300,8 @@ def test_bf16_fused_vs_scan_parity_contract():
     scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
     _, ta, _ = scan(p, state, np.int32(0), el + 8, compute_dtype=jnp.bfloat16)
     _, tb = fused_slot_tick(p, state, el + 8, compute_dtype=jnp.bfloat16)
-    pred_a = np.asarray(ta)[el, :]
-    pred_b = np.asarray(tb)[el, :]
+    pred_a = np.asarray(ta)[:, el]  # toks (B, inner): the single free step
+    pred_b = np.asarray(tb)[:, el]
     assert (pred_a == pred_b).mean() >= 0.96, (pred_a == pred_b).mean()
 
 
@@ -514,6 +514,96 @@ def test_fused_tick_sampling_interpret():
     assert a.max() < 66                              # valid token range
     sampled = a[2:]
     assert not all(np.array_equal(sampled[0], sampled[i]) for i in range(1, 6))
+
+
+def _free_step_samples(params, n_slots, inner=3, **kw):
+    """One tick over identically-primed slots; returns each slot's FIRST
+    free token (steps 0-1 feed the 2-token prompt) — n_slots independent
+    draws from the same per-step distribution."""
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+
+    st = jax.tree.map(jnp.array, _sampled_state(params, n_slots, greedy_head=0,
+                                                temp=1.0))
+    _, toks = fused_slot_tick(params, st, inner, compute_dtype=jnp.float32,
+                              enable_sampling=True, seed=11, **kw)
+    return np.asarray(toks)[:, 2]  # toks (B, inner): step-2 token per slot
+
+
+def _exact_filtered_probs(params, top_k=None, top_p=None):
+    """The scan-path reference distribution for the first free token."""
+    from ggml_experiments_tpu.ops import sampling
+
+    h = gru_textgen.init_state(params, 1)
+    for t in (5, 9):
+        logits, h = gru_textgen.step(params, jnp.full((1,), t, jnp.int32), h)
+    x = logits / 1.0
+    if top_k is not None:
+        x = sampling.apply_top_k(x, top_k)
+    if top_p is not None:
+        x = sampling.apply_top_p(x, top_p)
+    return np.asarray(jax.nn.softmax(x, axis=-1))[0]
+
+
+def test_fused_tick_topk_topp_in_kernel():
+    """VERDICT r4 #6: top-k/top-p filtering rides the fused tick. Hard
+    support checks (ZERO mass outside the reference filter set, computed by
+    the scan path's sampling ops) + a TV-distance bound on the empirical
+    distribution, + top_k=1 == greedy exactness."""
+    from ggml_experiments_tpu.ops.fused_gru_decode import fused_slot_tick
+    from ggml_experiments_tpu.serving.engine import _slot_scan
+
+    params = _requantized(("q8_0", "q8_0", "q8_0"), seed=17)
+
+    # top_k=1 at any temperature must equal greedy argmax, token for token
+    st = jax.tree.map(jnp.array, _sampled_state(params, 8, greedy_head=0))
+    _, toks_k1 = fused_slot_tick(params, st, 16, compute_dtype=jnp.float32,
+                                 enable_sampling=True, seed=7, top_k=1)
+    scan = jax.jit(_slot_scan, static_argnames=("inner_steps", "compute_dtype"))
+    _, toks_greedy, _ = scan(
+        params, _sampled_state(params, 8, greedy_head=8), np.int32(0), 16,
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(toks_k1), np.asarray(toks_greedy))
+
+    n = 512
+    for kw in ({"top_k": 5}, {"top_p": 0.6}, {"top_k": 8, "top_p": 0.85}):
+        ref = _exact_filtered_probs(params, **kw)
+        support = np.flatnonzero(ref > 0)
+        draws = _free_step_samples(params, n, **kw)
+        counts = np.bincount(draws, minlength=len(ref))
+        outside = counts.sum() - counts[support].sum()
+        assert outside == 0, (kw, np.flatnonzero(counts), support)
+        emp = counts / n
+        tv = 0.5 * np.abs(emp - ref).sum()
+        # n=512 multinomial noise floor for these supports is ~0.05-0.08
+        assert tv < 0.15, (kw, tv)
+
+    # filtered ticks replay deterministically and survive slot tiling
+    a = _free_step_samples(params, 128, top_k=4)
+    b = _free_step_samples(params, 128, top_k=4)
+    np.testing.assert_array_equal(a, b)
+    t = _free_step_samples(params, 128, top_k=4, slot_tile=64)
+    ref4 = _exact_filtered_probs(params, top_k=4)
+    assert np.isin(t, np.flatnonzero(ref4 > 0)).all()
+
+
+def test_engine_filtered_sampling_routes_fused():
+    """A sampled engine with top_k/top_p no longer refuses the fused tick."""
+    from ggml_experiments_tpu.serving import DecodeEngine
+
+    params = _requantized(("q8_0", "q8_0", "q8_0"), seed=17)
+    eng = DecodeEngine(params, n_slots=8, max_prompt=8, inner_steps=8,
+                       temperature=0.8, top_k=5, top_p=0.9,
+                       use_fused_tick=True)
+    eng.start()
+    try:
+        req = eng.submit([5, 9], 12)
+        toks = req.result(timeout=120)
+        # result = prompt echo + 12 new tokens, all in-vocab
+        assert len(toks) == 14 and max(toks) < 66
+    finally:
+        eng.stop()
+    assert eng.error is None
 
 
 def test_fused_tick_sampling_decorrelates_tiles_and_shards():

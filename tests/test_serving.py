@@ -360,9 +360,14 @@ def test_fused_tick_sampling_on_cpu(params):
     np.testing.assert_array_equal(greedy.result(timeout=1), want)
     out = sampled.result(timeout=1)
     assert len(out) == 2 + 12 and all(0 <= t < 66 for t in out)
-    with pytest.raises(ValueError, match="top_k"):
-        DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
-                     top_k=5, use_fused_tick=True)
+    # round 5: top_k/top_p filtering runs IN-KERNEL (static masks compiled
+    # into the tick), so a filtered sampled engine takes the fused path too
+    engf = DecodeEngine(qparams, n_slots=2, max_prompt=8, temperature=0.8,
+                        top_k=5, use_fused_tick=True)
+    assert engf.use_fused_tick
+    filt = engf.submit([5, 6], 8)
+    engf.run_until_idle()
+    assert len(filt.result(timeout=1)) == 2 + 8
     eng2 = DecodeEngine(qparams, n_slots=512, max_prompt=8, inner_steps=128,
                         temperature=0.8)
     assert not eng2.use_fused_tick  # auto: off-TPU -> scan
