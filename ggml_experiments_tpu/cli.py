@@ -431,6 +431,51 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_serve_vision(args) -> int:
+    """Continuous-batching image service over HTTP — the reference's
+    single-image mobilevit main() (main.cpp:649-706) as a production
+    endpoint (classify + features)."""
+    compute_dtype = _setup(args)
+    import signal
+
+    from ggml_experiments_tpu.formats import checkpoint as _ckpt
+    from ggml_experiments_tpu.models.mobilevit import load_mobilevit
+    from ggml_experiments_tpu.serving.http import HttpFrontend
+    from ggml_experiments_tpu.serving.vision import VisionEngine
+
+    params = load_mobilevit(args.weights, qtype=args.qtype) \
+        if not args.weights.endswith(".gxt") else load_mobilevit(args.weights)
+    if args.weights.endswith(".gxt"):
+        size = _ckpt.read_meta(args.weights).get("config", {}).get(
+            "image_size", args.image_size)
+    else:
+        size = args.image_size
+    eng = VisionEngine(
+        params, image_size=size,
+        batch_sizes=tuple(int(b) for b in args.batch_sizes.split(",")),
+        compute_dtype=compute_dtype,
+    )
+    eng.start()
+    front = HttpFrontend(None, vision=eng, host=args.host, port=args.http)
+    front.start()
+    print(f"vision service on {args.host}:{front.port} "
+          f"(POST /v1/classify, /v1/features; GET /v1/vision/stats)",
+          file=sys.stderr)
+    try:
+        if hasattr(signal, "pause"):
+            signal.pause()
+        else:  # pragma: no cover - non-POSIX
+            import threading
+
+            threading.Event().wait()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        front.stop()
+        eng.stop()
+    return 0
+
+
 def cmd_eval(args) -> int:
     """Quantization-delta report: quantized vs fp32 on the same weights."""
     _setup(args)
@@ -771,6 +816,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(hides per-sync link latency; see DecodeEngine)")
     _add_common(s)
     s.set_defaults(fn=cmd_serve)
+
+    sv = sub.add_parser("serve-vision",
+                        help="continuous-batching image service over HTTP")
+    sv.add_argument("--weights", required=True,
+                    help="weight.ggml or calibrated .gxt checkpoint")
+    sv.add_argument("--http", type=int, default=0, help="port (0 = ephemeral)")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--image-size", type=int, default=256)
+    sv.add_argument("--batch-sizes", default="8,32,128",
+                    help="static collation ladder (comma-separated)")
+    _add_common(sv)
+    sv.set_defaults(fn=cmd_serve_vision)
 
     e = sub.add_parser("eval", help="quantization-delta report (logits/top-1/ppl vs fp32)")
     e.add_argument("--weights", required=True, help="gru.bin, .gxt or weight.ggml")

@@ -205,6 +205,57 @@ def generate(
     return toks.swapaxes(0, 1)  # (B, total_steps)
 
 
+# ---------------------------------------------------------------------------
+# decode() dispatch thresholds: measured defaults + on-machine recalibration
+# ---------------------------------------------------------------------------
+
+# Defaults re-derived round 3 on v5e (fused wins >= 1.5x at B>=2048, T>=256;
+# high-variance tie at B=1024). The same compiled programs have since been
+# observed to DRIFT platform-side (B=1024 fused: 19.3 ms r2/r3 -> 47.7 r4;
+# the sampled tick: 72-89 us/step r2-r4 -> ~160 r5 — same code, same chip,
+# different days), so the thresholds are recalibratable ON THE DEPLOYED
+# MACHINE: tools/recalibrate_decode.py re-measures the scan/fused crossover
+# and writes the evidence + thresholds to the calibration file below, which
+# decode() picks up on first use (env GXT_DECODE_DISPATCH overrides the
+# path; delete the file to return to the defaults).
+_DISPATCH_DEFAULTS = {"min_b": 2048, "min_t": 256, "source": "default"}
+_dispatch_cache: Optional[dict] = None
+
+
+def dispatch_calibration_path() -> str:
+    import os
+
+    return os.environ.get(
+        "GXT_DECODE_DISPATCH",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "ggml_experiments_tpu", "decode_dispatch.json"),
+    )
+
+
+def dispatch_thresholds(reload: bool = False) -> dict:
+    """The fused-vs-scan routing thresholds decode() uses — measured
+    defaults, overridden by an on-machine recalibration file when present
+    (tools/recalibrate_decode.py)."""
+    global _dispatch_cache
+    if _dispatch_cache is not None and not reload:
+        return _dispatch_cache
+    import json
+    import os
+
+    thr = dict(_DISPATCH_DEFAULTS)
+    path = dispatch_calibration_path()
+    if os.path.exists(path):
+        try:
+            data = json.loads(open(path).read())
+            thr["min_b"] = int(data["min_b"])
+            thr["min_t"] = int(data["min_t"])
+            thr["source"] = path
+        except (KeyError, ValueError, OSError):  # corrupt file: keep defaults
+            thr["source"] = f"default (unreadable {path})"
+    _dispatch_cache = thr
+    return thr
+
+
 def decode(
     params: GRUTextGenParams,
     prompt_ids: jax.Array,
@@ -256,8 +307,9 @@ def decode(
     # any block format routes: q8_0/q4_0 dequantize in-kernel, q4_1/q5_0/
     # q5_1 (and mixed-qtype params) ride the kernel's dense-plane path
     quantized = is_fusable_params(params)
-    if (greedy and quantized and prompt_ids.shape[0] >= 2048
-            and total_steps >= 256):
+    thr = dispatch_thresholds()
+    if (greedy and quantized and prompt_ids.shape[0] >= thr["min_b"]
+            and total_steps >= thr["min_t"]):
         from ggml_experiments_tpu.ops.fused_gru_decode import fused_gru_decode
 
         return fused_gru_decode(

@@ -21,6 +21,19 @@ Endpoints (JSON in/out):
 * ``DELETE /v1/requests/<id>`` — cancel a submitted request by the id the
   generate response/stream carries.
 
+With a :class:`~.vision.VisionEngine` attached (``vision=``), the image
+endpoints activate (the reference's single-image mobilevit ``main()`` as a
+service):
+
+* ``POST /v1/classify`` — body ``{"image_b64": <base64 PNG/JPEG/PPM/BMP>,
+  "top_k"?: int}`` or a raw ``image/*`` body; replies with the top-k
+  ``[class, logit]`` pairs. Decoding uses the framework's own codecs
+  (utils/image_codecs, utils/jpeg) and the reference-exact preprocess.
+* ``POST /v1/features`` — same input; replies with the feature shape and
+  the reference's debug vector (first/last 5 channels at (0, 0),
+  main.cpp:1225-1244); ``"full": true`` returns the whole feature map.
+* ``GET /v1/vision/stats`` — the vision engine's wall breakdown.
+
 Backpressure maps to HTTP: a full engine queue (``max_pending``) returns
 429; submit validation errors return 400; an engine failure returns 500.
 """
@@ -51,15 +64,20 @@ class HttpFrontend:
 
     def __init__(
         self,
-        engine: DecodeEngine,
+        engine: Optional[DecodeEngine],
         tokenizer: Optional[CharTokenizer] = None,
         *,
+        vision=None,
         host: str = "127.0.0.1",
         port: int = 0,
         default_max_new_tokens: int = 200,
         request_timeout_s: float = 600.0,
     ):
+        if engine is None and vision is None:
+            raise ValueError("HttpFrontend needs a DecodeEngine, a "
+                             "VisionEngine, or both")
         self.engine = engine
+        self.vision = vision
         self.tokenizer = tokenizer or CharTokenizer()
         self.default_max_new_tokens = default_max_new_tokens
         self.request_timeout_s = request_timeout_s
@@ -128,13 +146,18 @@ def _make_handler(front: HttpFrontend):
         def do_GET(self):  # noqa: N802
             eng = front.engine
             if self.path == "/v1/health":
-                self._json(200, {
-                    "status": "error" if eng.error is not None else "ok",
-                    "slots": eng.n_slots,
-                    "active": len(eng.active_requests()),
-                    "pending": eng.pending_count(),
-                })
-            elif self.path == "/v1/stats":
+                errs = [e for e in
+                        (getattr(eng, "error", None),
+                         getattr(front.vision, "error", None)) if e]
+                out = {"status": "error" if errs else "ok"}
+                if eng is not None:
+                    out.update(slots=eng.n_slots,
+                               active=len(eng.active_requests()),
+                               pending=eng.pending_count())
+                if front.vision is not None:
+                    out["vision_pending"] = front.vision._pending
+                self._json(200, out)
+            elif self.path == "/v1/stats" and eng is not None:
                 s = eng.stats
                 self._json(200, {
                     "tokens_generated": s.tokens_generated,
@@ -144,8 +167,92 @@ def _make_handler(front: HttpFrontend):
                     "wall_time_s": s.wall_time_s,
                     "tokens_per_s": s.tokens_per_s,
                 })
+            elif self.path == "/v1/vision/stats" and front.vision is not None:
+                s = front.vision.stats
+                self._json(200, {
+                    "images_done": s.images_done,
+                    "requests_canceled": s.requests_canceled,
+                    "batches": s.batches,
+                    "wall_time_s": s.wall_time_s,
+                    **s.breakdown(),
+                })
             else:
                 self._json(404, {"error": f"no such path {self.path!r}"})
+
+        def _read_image(self):
+            """Decode the request body to a preprocessed (S, S, 3) image.
+            Returns (image, top_k, full) or None after replying an error."""
+            import base64
+
+            from ggml_experiments_tpu.utils import image as image_utils
+            from ggml_experiments_tpu.utils import image_codecs
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                top_k, full = 5, False
+                if ctype.startswith("image/") or (body[:8] in
+                        (b"\x89PNG\r\n\x1a\n",) or body[:2] in
+                        (b"BM", b"P6", b"P3", b"\xff\xd8")):
+                    raw = body
+                else:
+                    payload = json.loads(body or b"{}")
+                    raw = base64.b64decode(payload["image_b64"])
+                    top_k = int(payload.get("top_k", 5))
+                    full = bool(payload.get("full", False))
+                u8 = image_codecs.decode(raw)
+                if getattr(front.vision, "transport", "f32") == "u8":
+                    # ship the u8 canvas; the engine normalizes on device
+                    img = image_utils.preprocess_canvas_u8(
+                        u8, size=front.vision.image_size)
+                else:
+                    img = image_utils.preprocess(u8, size=front.vision.image_size)
+                return img, top_k, full
+            except (KeyError, TypeError, ValueError, json.JSONDecodeError) as ex:
+                self._json(400, {"error": f"bad image request: {ex}"})
+                return None
+
+        def _vision_post(self, kind):
+            if front.vision is None:
+                self._json(404, {"error": "no vision engine attached"})
+                return
+            parsed = self._read_image()
+            if parsed is None:
+                return
+            img, top_k, full = parsed
+            try:
+                req = front.vision.submit(img, kind=kind)
+            except RuntimeError as ex:  # backlog / dead engine
+                code = 429 if "backlog" in str(ex) else 500
+                self._json(code, {"error": str(ex)})
+                return
+            try:
+                out = req.result(timeout=front.request_timeout_s)
+            except TimeoutError:
+                req.cancel()
+                self._json(504, {"id": req.id, "error": "inference timed out"})
+                return
+            except RuntimeError as ex:
+                self._json(500, {"id": req.id, "error": str(ex)})
+                return
+            if kind == "classify":
+                order = np.argsort(out)[::-1][:top_k]
+                self._json(200, {
+                    "id": req.id,
+                    "top": [[int(i), float(out[i])] for i in order],
+                })
+            else:
+                vec = out[0, 0]  # the reference's debug vector position
+                resp = {
+                    "id": req.id,
+                    "shape": list(out.shape),
+                    "first5": [float(v) for v in vec[:5]],
+                    "last5": [float(v) for v in vec[-5:]],
+                }
+                if full:
+                    resp["features"] = out.tolist()
+                self._json(200, resp)
 
         def do_DELETE(self):  # noqa: N802
             prefix = "/v1/requests/"
@@ -165,7 +272,13 @@ def _make_handler(front: HttpFrontend):
             self._json(200, {"id": rid, "canceled": True})
 
         def do_POST(self):  # noqa: N802
-            if self.path != "/v1/generate":
+            if self.path == "/v1/classify":
+                self._vision_post("classify")
+                return
+            if self.path == "/v1/features":
+                self._vision_post("features")
+                return
+            if self.path != "/v1/generate" or front.engine is None:
                 self._json(404, {"error": f"no such path {self.path!r}"})
                 return
             try:

@@ -128,5 +128,23 @@ def load_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
+def preprocess_canvas_u8(img_u8: np.ndarray, size: int = 256) -> np.ndarray:
+    """The resize-and-paste half of :func:`preprocess`, kept u8.
+
+    For serving (serving/vision.py ``transport='u8'``): the host ships the
+    u8 canvas (4x fewer bytes than the f32 image — host->device bandwidth
+    is the e2e wall for image serving) and the device applies the
+    reference's x/255 normalization inside the jitted forward. Identical
+    numerics to ``preprocess`` at the default mean/std (0, 255)."""
+    h, w, _ = img_u8.shape
+    scale = max(h, w) / float(size)
+    out_h = int(h / scale + 0.5)
+    out_w = int(w / scale + 0.5)
+    resized = bilinear_resize_u8(img_u8, out_h, out_w, scale)
+    canvas = np.zeros((size, size, 3), np.uint8)
+    canvas[:out_h, :out_w] = resized
+    return canvas
+
+
 def load_and_preprocess(path: str, size: int = 256) -> np.ndarray:
     return preprocess(load_image(path), size=size)

@@ -68,11 +68,103 @@ def main():
         out.update(run_fused_serve(mesh))
     elif scenario == "sampled_fused_serve":
         out.update(run_fused_serve(mesh, sampled=True))
+    elif scenario == "recover_die":
+        return run_recover_die(mesh, pid, out)  # prints + exits itself:
+        # the dead-peer phase cannot reach the sync_hosts below
     else:
         raise SystemExit(f"unknown scenario {scenario}")
 
     sync_hosts()
     print("RESULT " + json.dumps(out), flush=True)
+
+
+# request specs + param construction shared with the parent's recovery test
+# (tests/test_multihost.py imports these to rebuild the oracle and restore
+# the snapshot in a fresh single process)
+RECOVER_SPECS = [([5, 9, 13], 30), ([2], 26), ([11, 3], 28)]
+
+
+def recover_qparams():
+    """The q8_0 GRU params every recovery phase rebuilds identically."""
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.models import gru_textgen
+    from ggml_experiments_tpu.models.gru_textgen import GRUConfig
+    from ggml_experiments_tpu.quant import quantize
+
+    cfg = GRUConfig(vocab_size=66, embed_dim=16, units=32)
+    fp = jax.tree_util.tree_map(
+        np.asarray, gru_textgen.init_params(cfg, jax.random.PRNGKey(7))
+    )
+    return gru_textgen.GRUTextGenParams(
+        embeddings=jnp.asarray(fp.embeddings),
+        cell=type(fp.cell)(
+            kernel=quantize(fp.cell.kernel, "q8_0"),
+            recurrent_kernel=quantize(fp.cell.recurrent_kernel, "q8_0"),
+            bias=jnp.asarray(fp.cell.bias),
+        ),
+        dense_kernel=quantize(fp.dense_kernel, "q8_0"),
+        dense_bias=jnp.asarray(fp.dense_bias),
+    )
+
+
+def run_recover_die(mesh, pid, out):
+    """Host-failure recovery, phase 1 (VERDICT r4 #7): a 2-process serving
+    session snapshots mid-decode, then host 1 DIES ABRUPTLY (os._exit, no
+    shutdown). Host 0 observes its next tick fail or wedge (either way the
+    distributed session is over — that is what host death means for an SPMD
+    program) and reports. Phase 2 — restoring the snapshot on a FRESH
+    single-process session and finishing every in-flight request — runs in
+    the parent test, proving the checkpointed request queue tolerates host
+    restart end-to-end (SURVEY.md §5 failure-recovery row)."""
+    import json as _json
+    import threading
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ggml_experiments_tpu.parallel.multihost import is_primary, sync_hosts
+    from ggml_experiments_tpu.serving import DecodeEngine
+
+    snap = os.environ["GXT_RECOVER_SNAP"]
+    qp = jax.device_put(recover_qparams(), NamedSharding(mesh, P()))
+    eng = DecodeEngine(qp, n_slots=2, max_prompt=16, inner_steps=8,
+                       compute_dtype=jnp.float32)
+    if is_primary():
+        for prompt, new in RECOVER_SPECS:
+            eng.submit(prompt, new)
+    for _ in range(2):          # mid-decode: slots busy, one request queued
+        eng._tick()
+    if is_primary():
+        eng.snapshot(snap)
+    out["snapshot_written"] = os.path.exists(snap)
+    out["pos_after_2_ticks"] = [int(v) for v in np.asarray(eng.state.pos)]
+    sync_hosts()                # snapshot durable before anyone dies
+
+    if pid == 1:
+        os._exit(17)            # abrupt host death: no shutdown, no barrier
+
+    # host 0: the next SPMD tick must not succeed silently without the peer
+    status = {"done": False, "error": None}
+
+    def _try_tick():
+        try:
+            eng._tick()
+            status["done"] = True
+        except Exception as ex:  # noqa: BLE001
+            status["error"] = f"{type(ex).__name__}: {ex}"[:200]
+            status["done"] = True
+
+    t = threading.Thread(target=_try_tick, daemon=True)
+    t.start()
+    t.join(timeout=25)
+    out["peer_death"] = (
+        "error" if status["error"] else
+        ("wedged" if not status["done"] else "tick_succeeded")
+    )
+    out["peer_death_detail"] = status["error"]
+    print("RESULT " + _json.dumps(out), flush=True)
+    os._exit(0)                 # the distributed runtime is unusable now
 
 
 def run_train(mesh):

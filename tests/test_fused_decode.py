@@ -99,6 +99,52 @@ def test_decode_facade_routes(qparams, monkeypatch):
         assert bool(calls) == want_fused, (batch, steps, calls)
 
 
+def test_dispatch_thresholds_recalibration_file(qparams, monkeypatch, tmp_path):
+    """decode() routing thresholds come from the on-machine calibration file
+    when present (tools/recalibrate_decode.py — the VERDICT r4 #3 self-heal
+    for platform drift); a corrupt file falls back to the defaults."""
+    import json
+
+    from ggml_experiments_tpu.models import gru_textgen as g
+
+    cal = tmp_path / "dispatch.json"
+    monkeypatch.setenv("GXT_DECODE_DISPATCH", str(cal))
+
+    # no file: measured defaults
+    thr = g.dispatch_thresholds(reload=True)
+    assert (thr["min_b"], thr["min_t"], thr["source"]) == (2048, 256, "default")
+
+    cal.write_text(json.dumps({"min_b": 4, "min_t": 8, "evidence": {}}))
+    thr = g.dispatch_thresholds(reload=True)
+    assert thr["min_b"] == 4 and thr["min_t"] == 8 and thr["source"] == str(cal)
+
+    # with the tiny thresholds a B=4 decode routes through the fused kernel
+    called = {}
+    import importlib
+
+    # ops/__init__ re-exports a function named like the submodule; fetch the
+    # real module object to patch its attribute
+    fgd = importlib.import_module("ggml_experiments_tpu.ops.fused_gru_decode")
+    real = fgd.fused_gru_decode
+
+    def spy(*a, **kw):
+        called["fused"] = True
+        return real(*a, **kw)
+
+    monkeypatch.setattr(fgd, "fused_gru_decode", spy)
+    prompt = jnp.zeros((4, 4), jnp.int32)
+    g.decode(qparams, prompt, jnp.full((4,), 2, jnp.int32), 8)
+    assert called.get("fused")
+
+    # corrupt file: defaults, source says why
+    cal.write_text("{not json")
+    thr = g.dispatch_thresholds(reload=True)
+    assert thr["min_b"] == 2048 and "unreadable" in thr["source"]
+    g.dispatch_thresholds(reload=True)  # leave the cache clean for others
+    monkeypatch.delenv("GXT_DECODE_DISPATCH")
+    g._dispatch_cache = None
+
+
 def test_fused_q4_matches_scan(rng):
     """Q4_0 weights run the persistent kernel too (nibbles unpacked during
     VMEM setup); tokens match the scan decode exactly at matched dtype."""

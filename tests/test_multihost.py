@@ -288,6 +288,64 @@ def test_two_process_sampled_fused_tick_serving():
     assert s1 != s2, "identical sampled prompts drew correlated streams"
 
 
+def test_host_death_snapshot_recovery(tmp_path):
+    """VERDICT r4 #7, end-to-end: a 2-process serving session snapshots
+    mid-decode, one host is killed abruptly (os._exit inside the worker, no
+    shutdown), the survivor observes the session die — and the snapshot
+    restores on a FRESH single-process session that finishes every
+    in-flight/queued request with tokens exactly equal to an uninterrupted
+    run (the checkpointed request queue tolerates host restart,
+    SURVEY.md §5 failure-recovery row)."""
+    snap = str(tmp_path / "recover.gxt")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["GXT_RECOVER_SNAP"] = snap
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(port), str(pid), "2", "recover_die"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    try:
+        out0, err0 = procs[0].communicate(timeout=420)
+        out1, err1 = procs[1].communicate(timeout=420)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[1].returncode == 17, f"worker 1 did not die as scripted:\n{err1[-2000:]}"
+    assert procs[0].returncode == 0, f"survivor failed:\n{out0}\n{err0[-4000:]}"
+    lines = [ln for ln in out0.splitlines() if ln.startswith("RESULT ")]
+    assert lines, f"no RESULT from survivor:\n{out0}\n{err0[-2000:]}"
+    r0 = json.loads(lines[-1][len("RESULT "):])
+    assert r0["snapshot_written"]
+    # the survivor must NOT have silently completed an SPMD tick without
+    # its peer — host death ends the session (error or wedge both qualify)
+    assert r0["peer_death"] in ("error", "wedged"), r0
+
+    # ---- phase 2: restore on ONE host, drain, compare to uninterrupted ----
+    import jax.numpy as jnp
+
+    from ggml_experiments_tpu.serving import DecodeEngine
+    from tests.multihost_worker import RECOVER_SPECS, recover_qparams
+
+    qp = recover_qparams()
+    eng2 = DecodeEngine.restore(snap, qp, inner_steps=8,
+                                compute_dtype=jnp.float32)
+    assert len(eng2.restored_requests) == len(RECOVER_SPECS)
+    eng2.run_until_idle(timeout_s=300)
+    got = {tuple(r.prompt_ids.tolist()): r.result(timeout=5)
+           for r in eng2.restored_requests}
+    for prompt, new in RECOVER_SPECS:
+        want = _offline_q8_f32_oracle(prompt, new)
+        np.testing.assert_array_equal(got[tuple(prompt)], want,
+                                      err_msg=f"request {prompt} diverged")
+
+
 def test_four_process_serving_session():
     """The refill-broadcast serving design beyond 2 hosts: a 4-process,
     16-device session produces tokens identical to the single-process
