@@ -294,3 +294,116 @@ def test_jpeg_truncated_raises(rng):
     data = _jpeg_bytes(img, quality=90)
     with pytest.raises(ValueError):
         image_codecs.decode(data[:20])
+
+
+# --- TGA + GIF (round 5: the stb_image long tail, VERDICT r4 #10) ----------
+
+
+def _tga_bytes(img, rle=False, bottom_origin=False, alpha=False):
+    """Minimal TGA writer (the test oracle encoder)."""
+    import struct
+
+    h, w, _ = img.shape
+    nb = 4 if alpha else 3
+    px = img[:, :, ::-1]  # RGB -> BGR
+    if alpha:
+        px = np.concatenate([px, np.full((h, w, 1), 255, np.uint8)], axis=2)
+    if bottom_origin:
+        desc = 0
+        rows = px[::-1]
+    else:
+        desc = 0x20
+        rows = px
+    flat = rows.reshape(-1, nb)
+    head = struct.pack("<BBBHHBHHHHBB", 0, 0, 10 if rle else 2,
+                       0, 0, 0, 0, 0, w, h, nb * 8, desc)
+    if not rle:
+        return head + flat.tobytes()
+    out = bytearray(head)
+    i = 0
+    n = len(flat)
+    while i < n:
+        # alternate a run packet and a literal packet for coverage
+        run = 1
+        while (i + run < n and run < 128
+               and np.array_equal(flat[i + run], flat[i])):
+            run += 1
+        if run >= 2:
+            out.append(0x80 | (run - 1))
+            out += flat[i].tobytes()
+            i += run
+        else:
+            lit = min(128, n - i)
+            # stop the literal at the start of the next run
+            j = i + 1
+            while j < i + lit and not (
+                j + 1 < n and np.array_equal(flat[j], flat[j + 1])
+            ):
+                j += 1
+            lit = j - i
+            out.append(lit - 1)
+            out += flat[i : i + lit].tobytes()
+            i += lit
+    return bytes(out)
+
+
+@pytest.mark.parametrize("rle", [False, True])
+@pytest.mark.parametrize("bottom", [False, True])
+def test_tga_raw_and_rle(rng, rle, bottom):
+    from ggml_experiments_tpu.utils import image_codecs
+
+    img = (rng.integers(0, 5, (23, 17, 3)) * 60).astype(np.uint8)  # runs
+    data = _tga_bytes(img, rle=rle, bottom_origin=bottom)
+    out = image_codecs.decode_tga(data)
+    np.testing.assert_array_equal(out, img)
+    # the sniffing dispatcher finds it too
+    np.testing.assert_array_equal(image_codecs.decode(data), img)
+
+
+def test_tga_32bit_vs_pil(rng):
+    from ggml_experiments_tpu.utils import image_codecs
+
+    img = rng.integers(0, 256, (20, 31, 3)).astype(np.uint8)
+    data = _tga_bytes(img, rle=True, alpha=True, bottom_origin=True)
+    out = image_codecs.decode_tga(data)
+    with Image.open(io.BytesIO(data)) as im:
+        want = np.asarray(im.convert("RGB"))
+    np.testing.assert_array_equal(out, want)
+
+
+def test_tga_truncation_raises(rng):
+    from ggml_experiments_tpu.utils import image_codecs
+
+    img = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    data = _tga_bytes(img, rle=True)
+    for cut in (10, len(data) // 2, len(data) - 3):
+        with pytest.raises(ValueError):
+            image_codecs.decode_tga(data[:cut])
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_vs_pil(rng, interlace):
+    from ggml_experiments_tpu.utils import image_codecs
+
+    img = (rng.integers(0, 6, (24, 33, 3)) * 40).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("P", palette=Image.ADAPTIVE).save(
+        buf, format="GIF", interlace=interlace)
+    data = buf.getvalue()
+    out = image_codecs.decode_gif(data)
+    with Image.open(io.BytesIO(data)) as im:
+        want = np.asarray(im.convert("RGB"))
+    np.testing.assert_array_equal(out, want)
+    np.testing.assert_array_equal(image_codecs.decode(data), want)
+
+
+def test_gif_truncation_raises(rng):
+    from ggml_experiments_tpu.utils import image_codecs
+
+    img = (rng.integers(0, 4, (16, 16, 3)) * 80).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).convert("P", palette=Image.ADAPTIVE).save(buf, format="GIF")
+    data = buf.getvalue()
+    for cut in (8, 20, len(data) // 2):
+        with pytest.raises(ValueError):
+            image_codecs.decode_gif(data[:cut])
