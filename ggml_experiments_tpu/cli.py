@@ -741,9 +741,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "round trip per layer; default: auto — on for TPU)")
     f.add_argument("--act-storage", choices=["f8_e5m2", "f8_e4m3", "bfloat16"],
                    default=None,
-                   help="materialize the early conv-stage activations below "
-                        "bf16 (f8_e5m2: measured 1.09x at B=128 for a bounded "
-                        "accuracy cost; bf16-compute only)")
+                   help="EXPERIMENTAL: materialize the early conv-stage "
+                        "activations below bf16 (f8_e5m2: measured 1.09x at "
+                        "B=128, but every e5m2 scope lands dtop-1 >= 1%% — "
+                        "10x outside the 0.1%% accuracy contract; a speed "
+                        "knob for accuracy-tolerant uses only; bf16-compute "
+                        "only)")
     f.add_argument("--act-storage-scope", choices=["stem", "stem12", "early", "all"],
                    default="early",
                    help="how deep the act-storage policy reaches (narrower = "
