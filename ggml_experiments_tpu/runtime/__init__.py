@@ -20,7 +20,7 @@ import numpy as np
 
 _DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
 _SO = os.path.join(_DIR, "libgxt.so")
-_ABI = 2  # 2: +q4_1/q5_0/q5_1 codecs
+_ABI = 3  # 3: +q4_k decode; 2: +q4_1/q5_0/q5_1 codecs
 _lock = threading.RLock()  # re-entrant: _load() calls build_native(force=True) under it
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
@@ -171,12 +171,28 @@ def quantize_q5_1(w: np.ndarray):
 
 def dequantize(codes: np.ndarray, scales: np.ndarray, qtype: str,
                mins: Optional[np.ndarray] = None,
-               hibits: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+               hibits: Optional[np.ndarray] = None,
+               supers: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    scales = np.ascontiguousarray(scales, np.float32)
     n = codes.shape[1]
+    if qtype == "q4_k":
+        # scales/mins are uint8 sub-block CODES; supers f32 stacked halves
+        codes = np.ascontiguousarray(codes, np.uint8)
+        sc = np.ascontiguousarray(scales, np.uint8)
+        mc = np.ascontiguousarray(mins, np.uint8)
+        sp = np.ascontiguousarray(supers, np.float32)
+        kp = codes.shape[0] * 2
+        ns = sp.shape[0] // 2
+        out = np.empty((kp, n), np.float32)
+        rc = lib.q4_k_dequantize(_ptr(codes), _ptr(sc), _ptr(mc), _ptr(sp),
+                                 ctypes.c_int64(kp), ctypes.c_int64(n),
+                                 ctypes.c_int64(ns), _ptr(out))
+        if rc != 0:
+            raise RuntimeError(f"q4_k_dequantize failed rc={rc}")
+        return out
+    scales = np.ascontiguousarray(scales, np.float32)
     if qtype == "q8_0":
         codes = np.ascontiguousarray(codes, np.int8)
         kp = codes.shape[0]

@@ -550,6 +550,41 @@ int png_unfilter(const uint8_t* raw, int64_t h, int64_t stride, int64_t bpp,
     return GXT_OK;
 }
 
-int gxt_abi_version(void) { return 2; }  // 2: +q4_1/q5_0/q5_1 codecs
+// q4_k: super-block k-quant (quant/kquant.py). Sub-block scale/min CODES are
+// uint8 (Kp/32, N) planes; supers is f32 (2*ns, N) stacked halves (d rows,
+// then m rows); block b decodes against super s = min(b/8, ns-1):
+//   out[32b+t, j] = q * (supers[s,j]*sc[b,j]) - (supers[ns+s,j]*mc[b,j])
+// Quantization itself stays in numpy (the weighted grid search + GPTQ live
+// host-side, quant/kquant.py + quant/gptq.py); the native side provides the
+// hot decode, matching the python dequantizer to FMA rounding.
+int q4_k_dequantize(const uint8_t* codes, const uint8_t* sc, const uint8_t* mc,
+                    const float* supers, int64_t kp, int64_t n, int64_t ns,
+                    float* out) {
+    if (!codes || !sc || !mc || !supers || !out || kp <= 0 || n <= 0 ||
+        ns <= 0 || kp % 32) return GXT_ERR_ARG;
+    const int64_t nb = kp / 32;
+#pragma omp parallel for schedule(static)
+    for (int64_t b = 0; b < nb; b++) {
+        const int64_t s = (b / 8 < ns) ? b / 8 : ns - 1;
+        const float* drow = supers + s * n;
+        const float* mrow = supers + (ns + s) * n;
+        const uint8_t* scrow = sc + b * n;
+        const uint8_t* mcrow = mc + b * n;
+        for (int64_t t = 0; t < 16; t++) {
+            const uint8_t* crow = codes + (b * 16 + t) * n;
+            float* lo = out + (b * 32 + t) * n;
+            float* hi = out + (b * 32 + 16 + t) * n;
+            for (int64_t j = 0; j < n; j++) {
+                const float d = drow[j] * (float)scrow[j];
+                const float m = mrow[j] * (float)mcrow[j];
+                lo[j] = (float)(crow[j] & 0xF) * d - m;
+                hi[j] = (float)(crow[j] >> 4) * d - m;
+            }
+        }
+    }
+    return GXT_OK;
+}
+
+int gxt_abi_version(void) { return 3; }  // 3: +q4_k decode; 2: +q4_1/q5_0/q5_1
 
 }  // extern "C"

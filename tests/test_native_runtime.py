@@ -145,3 +145,17 @@ def test_native_png_unfilter_matches_python(rng):
     got = runtime.png_unfilter(raw, filters, bpp)
     assert got is not None
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_q4_k_dequant_matches_python(rng):
+    """The native q4_k decoder vs the numpy reference (quantization itself
+    stays numpy-side — the grid search/GPTQ are host algorithms)."""
+    w = rng.standard_normal((300, 130)).astype(np.float32)  # ragged K and N
+    qt = quant.quantize(w, "q4_k")
+    codes, scales, mins, supers = quant.to_numpy_blocks(qt)
+    wd = runtime.dequantize(codes, scales, "q4_k", mins=mins, supers=supers)
+    if wd is None:
+        pytest.skip("native lib unavailable")
+    want = np.asarray(quant.dequantize(qt))
+    # FMA contraction tolerance, as for the other extended codecs
+    np.testing.assert_allclose(wd[:300, :130], want, rtol=1e-5, atol=5e-7)
