@@ -236,8 +236,30 @@ def main():
                 stats_key="fused_bf16_B8192_T512_tiled")
         except Exception as ex:
             log(f"tiled fused decode skipped: {type(ex).__name__}: {ex}")
-    tokens_per_s = max(results.values())
-    headline_config = max(results, key=results.get)
+        # the q4_k super-block k-quant (round 5) at the same headline shape:
+        # rides the kernel's dense-plane path; measured within 2% of q8_0
+        # while holding the q8-class accuracy contract at 4.63 stored bits/w
+        try:
+            kq = gru_textgen.GRUTextGenParams(
+                embeddings=jnp.asarray(weights[0]),
+                cell=GRUCellParams(
+                    kernel=quantize(weights[1], "q4_k"),
+                    recurrent_kernel=quantize(weights[2], "q4_k"),
+                    bias=jnp.asarray(weights[3]),
+                ),
+                dense_kernel=quantize(weights[4], "q4_k"),
+                dense_bias=jnp.asarray(weights[5]),
+            )
+            results["fused_bf16_B8192_T512_tiled_q4k"] = bench_decode(
+                lambda p, l, b: fused_gru_decode(kq, p, l, 512), 8192,
+                "fused-kernel tiled q4_k", steps_=512,
+                stats_key="fused_bf16_B8192_T512_tiled_q4k")
+        except Exception as ex:
+            log(f"q4_k tiled decode skipped: {type(ex).__name__}: {ex}")
+    # headline stays q8_0 (the metric's name); the q4_k row is informational
+    q8_results = {k: v for k, v in results.items() if "_q4k" not in k}
+    tokens_per_s = max(q8_results.values())
+    headline_config = max(q8_results, key=q8_results.get)
     log(f"headline config: {headline_config}")
 
     # routing/median consistency (protocol rev 5, VERDICT r3 #4): at each
