@@ -159,6 +159,26 @@ def test_q4_k_m_gptq_closes_4bit_contract(ref_params, heldout_seqs):
     assert agree.mean() >= (pa == p8).mean() - 0.005
 
 
+SHIPPED_KM = os.path.join(REPO, "checkpoints", "gru_synth_q4km.gxt")
+
+
+@pytest.mark.skipif(not os.path.exists(SHIPPED_KM),
+                    reason="shipped q4_k_m checkpoint not present")
+def test_shipped_q4_k_m_checkpoint(ref_params, heldout_seqs):
+    """The committed calibrated artifact (`gxt quantize --qtype q4_k_m
+    --calibrate corpus_train.txt`, 2.4MB vs gru.bin's 16MB) loads through
+    load_gru_any and holds the contract it was measured at."""
+    from ggml_experiments_tpu import evaluation
+    from ggml_experiments_tpu.formats.gru_bin import load_gru_any
+
+    p = load_gru_any(SHIPPED_KM)
+    assert p.cell.recurrent_kernel.qtype == "q4_k"
+    assert p.dense_kernel.qtype == "q8_0"
+    rep = evaluation.eval_gru_delta(ref_params, p, heldout_seqs)
+    assert rep.top1_agreement >= 0.995, rep
+    assert abs(rep.ppl_a - rep.ppl_b) / rep.ppl_b < 0.001, rep
+
+
 def test_trained_generation_is_corpus_like(ref_params):
     """Greedy generation from a speaker prompt produces text made of corpus
     vocabulary/structure (letters, the speaker-colon pattern)."""
