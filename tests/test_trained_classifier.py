@@ -151,6 +151,46 @@ def test_calibrated_q4_k_m_vision_contract(heldout):
     assert rel <= rel8 * 1.5, (rel, rel8)  # 4-bit GPTQ ~ 8-bit RTN class
 
 
+SHIPPED_KM = os.path.join(
+    os.path.dirname(__file__), "..", "checkpoints",
+    "mobilevit_synth_full_q4km.gxt")
+_FULL = os.path.join(os.path.dirname(__file__), "..", "checkpoints",
+                     "mobilevit_synth_full.ggml")
+
+
+@pytest.mark.skipif(not (os.path.exists(SHIPPED_KM) and os.path.exists(_FULL)),
+                    reason="shipped calibrated vision checkpoint not present")
+def test_shipped_vision_q4_k_m_checkpoint():
+    """The committed calibrated vision artifact (CLI `quantize --qtype
+    q4_k_m --calibrate task:1234` on the full-size checkpoint; measured
+    100% agreement / rel RMSE 0.0002 on 320 images, TPU) loads through
+    load_mobilevit and matches the f32 model on a CI-sized slice."""
+    import jax
+
+    from ggml_experiments_tpu.models.mobilevit import (
+        classify, infer_config, load_mobilevit,
+    )
+    from ggml_experiments_tpu.formats.ggml_named import read_named_tensors
+    from ggml_experiments_tpu.training.image_task import (
+        FULL_AMP_FACTOR, HELDOUT_SEED, make_dataset,
+    )
+
+    pq = load_mobilevit(SHIPPED_KM, flash_attn=False, fused_layer=False)
+    assert pq.layer_3.transformer[0].attention.wq.qtype == "q4_k"
+    assert pq.classifier_kernel.qtype == "q8_0"
+    named = read_named_tensors(_FULL)
+    pf = load_mobilevit(_FULL, config=infer_config(named), qtype=None,
+                        flash_attn=False, fused_layer=False)
+    x, _ = make_dataset(16, seed=HELDOUT_SEED, image_size=256,
+                        amp_factor=FULL_AMP_FACTOR)
+    fn = jax.jit(classify)
+    la = np.asarray(fn(pf, x))
+    lb = np.asarray(fn(pq, x))
+    assert (la.argmax(-1) == lb.argmax(-1)).all()
+    rel = np.sqrt(np.mean((lb - la) ** 2)) / np.sqrt(np.mean(la ** 2))
+    assert rel < 0.005, rel
+
+
 def test_dataset_is_deterministic():
     from ggml_experiments_tpu.training.image_task import make_dataset
 
