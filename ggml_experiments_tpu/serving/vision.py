@@ -24,16 +24,23 @@ slots): "continuous batching" here means the collation loop never waits for
 a full batch — it ships whatever is queued at the smallest ladder size that
 fits, padding the tail (padded rows are real compute waste, counted in
 ``stats.padded_images``).
+
+Multi-process note (deliberate design): the DECODE engine must coordinate
+hosts because its slot state is one SPMD program (serving/engine.py refill
+broadcast). Vision inference is stateless, so the right multi-host shape is
+N independent engines behind any request balancer — no cross-host
+coordination to build, nothing to drift. TP-sharded vision params (for a
+model too big per chip — not this one) still work through a single engine,
+since the jitted forward carries the params' mesh shardings.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import queue
 import threading
 import time
 from collections import deque
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
